@@ -1,0 +1,192 @@
+"""Image codec, perceptual hash, and the vectorized Spark UDFs over them.
+
+The container has no Pillow/libjpeg, so the *codec* is a deterministic
+pure-numpy stand-in (clearly marked below): ``FSPNG`` is a lossless
+zlib-compressed raw-RGB format and ``FSJPG`` is a lossy uniform-quantization
+format whose reconstruction error is bounded (quantization step q=4 →
+PSNR ≈ 46.9 dB > 40 dB gate).  Everything around the codec — binary columns,
+Arrow batch transfer, schema, partitioning — is real and is exactly what a
+Pillow-backed codec would plug into: swap ``decode_image`` and the pipeline
+is production-shaped.
+
+Reference parity: the reference's only scalar UDF is row-wise ``unidecode``
+(``featurestore/preprocess/item_feature_preprocessing.py:182-185``); per
+BASELINE.json input_hint our engine bans per-row Python, so every function
+here is a pandas UDF over Arrow batches (Series → Series / DataFrame).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column
+
+# --------------------------------------------------------------------------
+# Deterministic stand-in codec (STUB for Pillow — see module docstring).
+# --------------------------------------------------------------------------
+
+_MAGIC_PNG = b"FSPN"
+_MAGIC_JPG = b"FSJP"
+_JPEG_Q = 4  # uniform quantization step; PSNR = 10*log10(255^2/(q^2/12)) ≈ 46.9 dB
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an HxWx3 uint8 array. fmt ∈ {"png" (lossless), "jpeg" (lossy)}."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8 pixels")
+    h, w = pixels.shape[:2]
+    header = np.array([w, h], dtype="<u2").tobytes()
+    if fmt == "png":
+        return _MAGIC_PNG + header + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        quant = (pixels // _JPEG_Q).astype(np.uint8)
+        return _MAGIC_JPG + header + zlib.compress(quant.tobytes(), 6)
+    raise NotImplementedError(f"unknown format {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode bytes produced by :func:`encode_image` back to HxWx3 uint8."""
+    magic, header, payload = data[:4], data[4:8], data[8:]
+    w, h = np.frombuffer(header, dtype="<u2")
+    raw = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
+    arr = raw.reshape(int(h), int(w), 3)
+    if magic == _MAGIC_PNG:
+        return arr
+    if magic == _MAGIC_JPG:
+        # mid-rise reconstruction: bin center
+        return (arr.astype(np.int32) * _JPEG_Q + _JPEG_Q // 2).clip(0, 255).astype(np.uint8)
+    raise NotImplementedError(f"unknown magic {magic!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (classic 64-bit DCT pHash, deterministic numpy impl).
+# --------------------------------------------------------------------------
+
+_PHASH_RESIZE = 32
+_PHASH_KEEP = 8
+_DCT_MAT = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    global _DCT_MAT
+    if _DCT_MAT is None:
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        c = np.sqrt(2.0 / n) * np.cos(np.pi * (m + 0.5) * k / n)
+        c[0, :] /= np.sqrt(2.0)
+        _DCT_MAT = c
+    return _DCT_MAT
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an HxWx3 uint8 image (signed int64).
+
+    Luma → nearest-neighbor 32x32 resize → 2D DCT-II → top-left 8x8 minus DC
+    → bit i set iff coeff > median.  Deterministic; shared by the engine's
+    pandas UDF and the pandas oracle.
+    """
+    gray = (
+        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+    )
+    h, w = gray.shape
+    ri = (np.arange(_PHASH_RESIZE) * h // _PHASH_RESIZE).clip(0, h - 1)
+    ci = (np.arange(_PHASH_RESIZE) * w // _PHASH_RESIZE).clip(0, w - 1)
+    small = gray[np.ix_(ri, ci)]
+    c = _dct_matrix(_PHASH_RESIZE)
+    dct = c @ small @ c.T
+    block = dct[:_PHASH_KEEP, :_PHASH_KEEP].flatten()[1:]  # drop DC term
+    med = np.median(block)
+    bits = block > med
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64).view(np.int64))
+
+
+def decode_stats(pixels: np.ndarray) -> tuple[float, ...]:
+    """Per-channel mean and std of decoded pixels — the numeric feature
+    vector carried through as-of joins (bytes are projected away first)."""
+    f = pixels.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    return (*means.tolist(), *stds.tolist())
+
+
+# --------------------------------------------------------------------------
+# Spark-side vectorized UDFs (Arrow batches, no per-row Python dispatch
+# beyond the inner loop over the batch — numpy does the pixel math).
+# --------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("phash", T.LongType()),
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_r", T.DoubleType()),
+        T.StructField("std_g", T.DoubleType()),
+        T.StructField("std_b", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
+def image_features_udf(data: pd.Series) -> pd.DataFrame:
+    """bytes → (phash, w, h, per-channel mean/std). One Arrow batch per call."""
+    out = {name: [] for name in IMAGE_FEATURES_SCHEMA.fieldNames()}
+    for buf in data:
+        if buf is None:
+            for v in out.values():
+                v.append(None)
+            continue
+        px = decode_image(bytes(buf))
+        stats = decode_stats(px)
+        out["phash"].append(phash64(px))
+        out["dec_h"].append(px.shape[0])
+        out["dec_w"].append(px.shape[1])
+        for name, val in zip(
+            ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"), stats
+        ):
+            out[name].append(val)
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(T.LongType())
+def phash_udf(data: pd.Series) -> pd.Series:
+    """bytes → 64-bit perceptual hash."""
+    return pd.Series(
+        [phash64(decode_image(bytes(b))) if b is not None else None for b in data],
+        dtype="Int64",
+    )
+
+
+def with_image_features(df, bytes_col: str = "bytes", out_col: str = "img"):
+    """Attach the decoded feature struct and DROP the binary payload.
+
+    Decoded fields REPLACE same-named input columns (e.g. the stored
+    ``phash`` is re-derived from bytes).  Projecting bytes away before any
+    shuffle is the single most important scale decision for a 10^12-image
+    table: joins and windows downstream move ~72 bytes of numeric features
+    per row, not megabyte blobs.
+    """
+    struct_fields = set(IMAGE_FEATURES_SCHEMA.fieldNames())
+    keep = [c for c in df.columns if c != bytes_col and c not in struct_fields]
+    return (
+        df.withColumn(out_col, image_features_udf(F.col(bytes_col)))
+        .select(*keep, f"{out_col}.*")
+    )

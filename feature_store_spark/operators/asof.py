@@ -1,0 +1,235 @@
+"""Point-in-time (as-of, backward inclusive, zero-leakage) join.
+
+Semantics from the reference's Feathr-delegated PIT join (SURVEY.md §2.3 J7;
+``training_pipeline.py:131-142`` declares ``event_timestamp_column`` and the
+JVM engine picks, per observation row, the latest feature row with
+``feature.ts <= obs.ts``) and the 7d-lookback variant (J8,
+``feature_transform.py:179-204`` ``WindowAggTransformation(agg_func="LATEST",
+window="7d")``).  Rebuilt here from scratch in pure DataFrame ops.
+
+Two strategies, identical results (property-tested):
+
+* ``union``  — union-tag + ``last(struct, ignorenulls)`` over an
+  entity-partitioned window.  One shuffle by entity; simple; skew-prone when
+  one entity owns a huge timeline (whole timeline lands in one task).
+
+* ``sliced`` — the production plan (SURVEY.md §7.2): both sides are hashed
+  into ``(entity, time-slice)`` partitions, the last feature row of each
+  earlier slice is *carried* forward to exactly the slices that contain
+  observations needing it, and the merge happens per ``(entity, slice)``
+  partition.  A hot entity's timeline splits across slices, which is the
+  "salted entity×event-time partitions" axis the north rule names; AQE skew
+  splitting stacks on top.
+
+Zero leakage is structural: a feature row can only be selected by the
+window frame ``rowsBetween(unboundedPreceding, currentRow)`` after sorting
+by ``(ts, tag)`` with features tagged 0 and observations 1 — no feature with
+``ts > obs.ts`` can precede the observation row, and ties (``ts == obs.ts``)
+are included, matching Feathr's inclusive-backward contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+_PAYLOAD = "__asof_payload"
+_SLICE = "__asof_slice"
+
+_DURATION_RE = re.compile(r"^(\d+)\s*(s|m|h|d)$")
+_UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+
+
+def duration_to_us(d: str | int | float) -> int:
+    """'7d' / '30m' / seconds → microseconds."""
+    if isinstance(d, (int, float)):
+        return int(d * 1_000_000)
+    m = _DURATION_RE.match(d.strip())
+    if not m:
+        raise ValueError(f"bad duration {d!r} (want e.g. '7d', '30m', '90s')")
+    return int(m.group(1)) * _UNIT_US[m.group(2)]
+
+
+def asof_join(
+    obs: DataFrame,
+    features: DataFrame,
+    on: str = "image_id",
+    obs_time: str = "obs_time",
+    feature_time: str = "event_time",
+    feature_cols: list[str] | None = None,
+    lookback: str | int | None = None,
+    tiebreak_cols: list[str] | None = None,
+    strategy: str = "union",
+    slice_duration: str | int = "1d",
+    feature_ts_col: str = "feature_ts",
+) -> DataFrame:
+    """For each obs row, attach the latest feature row with
+    ``feature_time <= obs_time`` (and ``obs_time - feature_time <= lookback``
+    if given).  Feature columns are taken atomically from ONE feature row
+    (struct-packed), never mixed across rows.  ``tiebreak_cols`` break
+    equal-timestamp feature ties deterministically (larger wins), mirroring
+    the reference's dedup-latest tiebreak (``item_feature_preprocessing.py:
+    79-91``, ``modifydate desc, filename_date desc``).
+    """
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in (on, feature_time)]
+    tiebreak_cols = tiebreak_cols or []
+    if strategy == "union":
+        return _asof_union(
+            obs, features, on, obs_time, feature_time, feature_cols,
+            lookback, tiebreak_cols, feature_ts_col,
+        )
+    if strategy == "sliced":
+        return _asof_sliced(
+            obs, features, on, obs_time, feature_time, feature_cols,
+            lookback, tiebreak_cols, slice_duration, feature_ts_col,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _prepare_union(obs, features, on, obs_time, feature_time, feature_cols, tiebreak_cols):
+    """Tag + payload-struct both sides and union them."""
+    f = features.select(
+        F.col(on),
+        F.col(feature_time).alias(_TS),
+        F.lit(0).alias(_TAG),
+        F.struct(
+            F.col(feature_time).alias(feature_time), *[F.col(c) for c in feature_cols]
+        ).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
+    )
+    obs_keep = [c for c in obs.columns]
+    o = obs.select(
+        *obs_keep,
+        F.col(obs_time).alias(_TS),
+        F.lit(1).alias(_TAG),
+    )
+    u = f.unionByName(o, allowMissingColumns=True)
+    return u
+
+
+def _merge_window(u, on, obs, obs_time, feature_cols, lookback,
+                  tiebreak_cols, feature_time, feature_ts_col,
+                  extra_partition_cols=()):
+    """Shared final merge: windowed last(payload) then unpack + lookback."""
+    order = [F.col(_TS).asc(), F.col(_TAG).asc()] + [
+        F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols
+    ]
+    w = (
+        Window.partitionBy(on, *extra_partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    out = merged.where(F.col(_TAG) == 1)
+    if lookback is not None:
+        lb_us = duration_to_us(lookback)
+        expired = (
+            F.unix_micros(F.col(obs_time).cast("timestamp"))
+            - F.unix_micros(F.col(_PAYLOAD)[feature_time])
+        ) > F.lit(lb_us)
+        out = out.withColumn(
+            _PAYLOAD, F.when(expired, F.lit(None)).otherwise(F.col(_PAYLOAD))
+        )
+    obs_cols = [c for c in obs.columns]
+    sel = [F.col(c) for c in obs_cols]
+    sel.append(F.col(_PAYLOAD)[feature_time].alias(feature_ts_col))
+    sel += [F.col(_PAYLOAD)[c].alias(c) for c in feature_cols]
+    return out.select(*sel)
+
+
+def _asof_union(obs, features, on, obs_time, feature_time, feature_cols,
+                lookback, tiebreak_cols, feature_ts_col):
+    u = _prepare_union(obs, features, on, obs_time, feature_time,
+                       feature_cols, tiebreak_cols)
+    return _merge_window(u, on, obs, obs_time, feature_cols, lookback,
+                         tiebreak_cols, feature_time, feature_ts_col)
+
+
+def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
+                 lookback, tiebreak_cols, slice_duration, feature_ts_col):
+    """Range-sliced sorted-merge with boundary carry (SURVEY.md §7.2).
+
+    1. Assign every row a time slice ``floor(unix_micros(ts)/slice_us)``.
+    2. Per (entity, feature-slice): keep the LAST feature row (the carry
+       candidate) via dedup-latest window.
+    3. For each (entity, obs-slice), find the latest feature-slice STRICTLY
+       below it (tiny slice-granularity as-of on distinct slice pairs — the
+       ``2k+{0,1}`` key trick makes "strictly less" a plain frame bound).
+    4. Replicate that carry row into the obs slice, then merge per
+       ``(entity, slice)`` partition — partition-local, skew-split.
+    """
+    slice_us = duration_to_us(slice_duration)
+
+    def ts_slice(col):
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(slice_us)).cast("long")
+
+    f = features.withColumn(_SLICE, ts_slice(feature_time))
+    o = obs.withColumn(_SLICE, ts_slice(obs_time))
+
+    # (2) last feature row per (entity, slice) — carry candidates.
+    order_desc = [F.col(feature_time).desc()] + [
+        F.col(c).desc_nulls_last() for c in tiebreak_cols
+    ]
+    wlast = Window.partitionBy(on, _SLICE).orderBy(*order_desc)
+    carry_cand = (
+        f.withColumn("__rn", F.row_number().over(wlast))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # (3) slice-granularity strict as-of: feature slice key 2s+1, obs key 2s.
+    fsl = f.select(F.col(on), F.col(_SLICE)).distinct().withColumn(
+        "__key", F.col(_SLICE) * 2 + 1
+    ).withColumn("__fslice", F.col(_SLICE))
+    osl = o.select(F.col(on), F.col(_SLICE)).distinct().withColumn(
+        "__key", F.col(_SLICE) * 2
+    ).withColumn("__fslice", F.lit(None).cast("long"))
+    slice_u = fsl.unionByName(osl)
+    wsl = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_map = (
+        slice_u.withColumn("__carry_slice", F.last("__fslice", ignorenulls=True).over(wsl))
+        .where(F.col("__fslice").isNull())  # obs-slice rows only
+        .where(F.col("__carry_slice").isNotNull())
+        .select(F.col(on), F.col(_SLICE).alias("__oslice"), "__carry_slice")
+    )
+
+    # (4) replicate carry rows into the obs slices that need them.
+    carry_rows = (
+        carry_cand.withColumnRenamed(_SLICE, "__carry_slice")
+        .join(carry_map, on=[on, "__carry_slice"], how="inner")
+        .withColumn(_SLICE, F.col("__oslice"))
+        .drop("__carry_slice", "__oslice")
+    )
+    f_all = f.unionByName(carry_rows)
+
+    # tag + payload, then partition-local merge per (entity, slice).
+    f_tagged = f_all.select(
+        F.col(on),
+        F.col(_SLICE),
+        F.col(feature_time).alias(_TS),
+        F.lit(0).alias(_TAG),
+        F.struct(
+            F.col(feature_time).alias(feature_time), *[F.col(c) for c in feature_cols]
+        ).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
+    )
+    o_tagged = o.select(
+        *[F.col(c) for c in obs.columns],
+        F.col(_SLICE),
+        F.col(obs_time).alias(_TS),
+        F.lit(1).alias(_TAG),
+    )
+    u = f_tagged.unionByName(o_tagged, allowMissingColumns=True)
+    return _merge_window(
+        u, on, obs, obs_time, feature_cols, lookback, tiebreak_cols,
+        feature_time, feature_ts_col, extra_partition_cols=(_SLICE,),
+    )
