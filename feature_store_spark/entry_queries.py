@@ -1,0 +1,622 @@
+"""Driver-contract queries: one per operator family from SURVEY.md §2,
+each with a DuckDB oracle SQL twin (same aliases, same semantics).
+
+The Spark side routes through the engine's operator library
+(`feature_store_spark.operators.*`) wherever the operator exists there, so
+the correctness gate exercises the real implementations, not ad-hoc
+re-expressions.  Aggregated doubles are rounded to a fixed precision on
+BOTH sides so order-of-reduction float noise cannot break the value-hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_store_spark.operators.asof import asof_join
+from feature_store_spark.operators.windows import (
+    dedup_latest,
+    rank_bucket,
+    sessionize,
+    with_lag_lead,
+    with_rolling,
+)
+
+R = 4  # rounding digits for aggregated doubles (both dialects)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- md5 bucket hashing, bit-exact in both dialects (SURVEY §2.8 F6;
+#     reference: hashing_function.py:142-186 conv(substring(md5(x),1,15),16,10) % B)
+def spark_md5_bucket(col, buckets: int):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def sql_md5_bucket(expr: str, buckets: int) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {buckets})"
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4)
+# =====================================================================
+
+def q_rollup_sum_max(spark, sf):  # A1: event rollup groupBy sum/max
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.round(F.max("value"), R).alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT user_id, event_type, ROUND(SUM(value), {R}) AS sum_value,
+       ROUND(MAX(value), {R}) AS max_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_group_count(spark, sf):  # A3: popularity counts
+    return t(spark, sf, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+SQL_GROUP_COUNT = "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id"
+
+
+def q_count_distinct(spark, sf):  # A4: data-completeness guard
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events GROUP BY user_id
+"""
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot(spark, sf):  # A5: pivot prefer-type counts
+    out = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for c in _PIVOT_TYPES:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long")).withColumnRenamed(
+            c, f"n_{c}"
+        )
+    return out
+
+
+SQL_PIVOT = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type='error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_max_by(spark, sf):  # A6: top event per user by (value, event_id)
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.expr("max_by(event_id, struct(value, event_id))").alias("top_event_id"))
+    )
+
+
+SQL_MAX_BY = """
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS top_event_id FROM r WHERE rn = 1
+"""
+
+
+def q_distinct(spark, sf):  # A7/A8: dedup
+    return t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# =====================================================================
+# Window functions (SURVEY §2.5)
+# =====================================================================
+
+def q_dedup_latest(spark, sf):  # W1: latest event per user
+    out = dedup_latest(
+        t(spark, sf, "events").select("user_id", "event_id", "ts", "event_type"),
+        keys=["user_id"],
+        order_desc=["ts", "event_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+SQL_DEDUP_LATEST = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id, ts, event_type FROM r WHERE rn = 1
+"""
+
+
+def q_rank_bucket(spark, sf):  # W2: popularity rank → bucket
+    per_user = (
+        t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), R).alias("total_value"))
+    )
+    out = rank_bucket(
+        per_user,
+        partition=["event_type"],
+        order_desc=["total_value", "user_id"],
+        buckets=[(3, 1), (10, 2), (30, 3)],
+        rank_col="rnk",
+        bucket_col="pop_group",
+    )
+    return out.select("event_type", "user_id", "total_value", "rnk", "pop_group")
+
+
+SQL_RANK_BUCKET = f"""
+WITH pu AS (
+  SELECT event_type, user_id, ROUND(SUM(value), {R}) AS total_value
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY total_value DESC, user_id DESC) AS rnk FROM pu)
+SELECT event_type, user_id, total_value, rnk,
+  CASE WHEN rnk <= 3 THEN 1 WHEN rnk <= 10 THEN 2 WHEN rnk <= 30 THEN 3 ELSE 0 END AS pop_group
+FROM r
+"""
+
+
+def q_lag_lead(spark, sf):  # north rule: lag/lead per entity-time
+    out = with_lag_lead(
+        t(spark, sf, "events").select("user_id", "event_id", "ts", "value"),
+        entity="user_id",
+        ts="ts",
+        cols={"prev_value": ("value", -1), "next_value": ("value", 1)},
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("prev_value", R).alias("prev_value"),
+        F.round("next_value", R).alias("next_value"),
+    )
+
+
+SQL_LAG_LEAD = f"""
+SELECT user_id, event_id,
+  ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), {R}) AS prev_value,
+  ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), {R}) AS next_value
+FROM events
+"""
+
+
+def q_rolling(spark, sf):  # north rule: rolling 1h sum/count per user
+    out = with_rolling(
+        t(spark, sf, "events").select("user_id", "event_id", "ts", "value"),
+        entity="user_id",
+        ts="ts",
+        aggs={"roll_sum": F.sum("value"), "roll_cnt": F.count(F.lit(1))},
+        window="1h",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("roll_sum", R).alias("roll_sum"),
+        F.col("roll_cnt").cast("long").alias("roll_cnt"),
+    )
+
+
+SQL_ROLLING = f"""
+SELECT user_id, event_id,
+  ROUND(SUM(value) OVER w, {R}) AS roll_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_sessionize(spark, sf):  # north rule: gap-based session windows
+    out = sessionize(
+        t(spark, sf, "events").select("user_id", "event_id", "ts"),
+        entity="user_id",
+        ts="ts",
+        gap="30m",
+        tiebreak=["event_id"],
+    )
+    return out.select("user_id", "event_id", F.col("session_id_idx").alias("session_idx"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, event_id,
+  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM g
+"""
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+def q_left_join(spark, sf):  # J1: dim enrich customer ⟕ nation ⟕ region
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), R).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_LEFT_JOIN = f"""
+SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), {R}) AS avg_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_broadcast_join(spark, sf):  # J2: fact ⨝ broadcast(dim)
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").where(F.col("p_size") > 40)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), R).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN = f"""
+SELECT p_brand, ROUND(SUM(l_extendedprice), {R}) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 40 GROUP BY p_brand
+"""
+
+
+def q_semi_join(spark, sf):  # J4: in-DataFrame → left_semi
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf):  # J5: not-in-DataFrame → left_anti
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers_no_orders FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def _purchases(spark, sf):
+    e = t(spark, sf, "events")
+    return e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("obs_event_id"), F.col("ts").alias("obs_ts")
+    )
+
+
+def _clicks(spark, sf):
+    e = t(spark, sf, "events")
+    return e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+
+def q_asof_join(spark, sf):  # J7: the flagship PIT join
+    out = asof_join(
+        _purchases(spark, sf),
+        _clicks(spark, sf),
+        on="user_id",
+        obs_time="obs_ts",
+        feature_time="ts",
+        feature_cols=["value", "event_id"],
+        tiebreak_cols=["event_id"],
+        strategy="sliced",
+        slice_duration="1d",
+        feature_ts_col="click_ts",
+    )
+    return out.select(
+        "user_id", "obs_event_id",
+        F.round("value", R).alias("last_click_value"),
+        F.col("event_id").alias("last_click_event_id"),
+    )
+
+
+SQL_ASOF = f"""
+WITH p AS (SELECT user_id, event_id AS obs_event_id, ts AS obs_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value, event_id
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.obs_event_id,
+       ROUND(c.value, {R}) AS last_click_value,
+       c.event_id AS last_click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.obs_ts >= c.ts
+"""
+
+
+def q_asof_lookback(spark, sf):  # J8: LATEST within 1d window
+    out = asof_join(
+        _purchases(spark, sf),
+        _clicks(spark, sf),
+        on="user_id",
+        obs_time="obs_ts",
+        feature_time="ts",
+        feature_cols=["value", "event_id"],
+        tiebreak_cols=["event_id"],
+        lookback="1d",
+        strategy="union",
+        feature_ts_col="click_ts",
+    )
+    return out.select(
+        "user_id", "obs_event_id",
+        F.round("value", R).alias("last_click_value"),
+    )
+
+
+SQL_ASOF_LOOKBACK = f"""
+WITH p AS (SELECT user_id, event_id AS obs_event_id, ts AS obs_ts
+           FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.obs_event_id,
+  ROUND((SELECT c.value FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND c.ts <= p.obs_ts AND c.ts >= p.obs_ts - INTERVAL 1 DAY
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), {R}) AS last_click_value
+FROM p
+"""
+
+
+def q_range_join(spark, sf):  # J3: 30-day window popularity (interval semantics)
+    # per user and calendar week: events in (week_start, week_start+7d]
+    e = t(spark, sf, "events")
+    weeks = (
+        e.select(F.date_trunc("week", "ts").alias("week_start")).distinct()
+    )
+    joined = e.join(
+        F.broadcast(weeks),
+        (e.ts > weeks.week_start) & (e.ts <= F.col("week_start") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    )
+    return joined.groupBy("user_id", "week_start").agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH weeks AS (SELECT DISTINCT date_trunc('week', ts) AS week_start FROM events)
+SELECT user_id, week_start, COUNT(*) AS n_in_window
+FROM events e JOIN weeks w
+  ON e.ts > w.week_start AND e.ts <= w.week_start + INTERVAL 7 DAY
+GROUP BY user_id, week_start
+"""
+
+
+# =====================================================================
+# Set ops / scalar functions (SURVEY §2.7, §2.8)
+# =====================================================================
+
+def q_union(spark, sf):  # U1/U3: unionByName of two filtered subsets
+    e = t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "click").select("user_id", "event_id", "value")
+    b = e.where(F.col("event_type") == "view").select("user_id", "event_id", "value")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sv"))
+    )
+
+
+SQL_UNION = f"""
+WITH u AS (
+  SELECT user_id, event_id, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, event_id, value FROM events WHERE event_type = 'view')
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), {R}) AS sv FROM u GROUP BY user_id
+"""
+
+
+def q_conditional_binning(spark, sf):  # F1/F2: when-chain binning + null default
+    c = t(spark, sf, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal.isNull(), "unknown")
+        .when(bal < 0, "negative")
+        .when(bal < 1000, "low")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bin"),
+        F.coalesce(F.round(bal, R), F.lit(0.0)).alias("bal_filled"),
+    )
+
+
+SQL_CONDITIONAL = f"""
+SELECT c_custkey,
+  CASE WHEN c_acctbal IS NULL THEN 'unknown'
+       WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 1000 THEN 'low'
+       WHEN c_acctbal < 5000 THEN 'mid'
+       ELSE 'high' END AS bal_bin,
+  COALESCE(ROUND(c_acctbal, {R}), 0.0) AS bal_filled
+FROM customer
+"""
+
+
+def q_string_funcs(spark, sf):  # F3: composite keys, lower/trim/split/concat_ws
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
+                 F.lower(F.trim("c_name"))).alias("user_key"),
+        F.split(F.col("c_name"), "#", 2).getItem(0).alias("name_head"),
+        F.concat_ws("_", F.lower("c_mktsegment"),
+                    F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_replace(F.lower("c_name"), " ", "_").alias("name_slug"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+  CAST(c_custkey AS VARCHAR) || '#' || LOWER(TRIM(c_name)) AS user_key,
+  string_split(c_name, '#')[1] AS name_head,
+  LOWER(c_mktsegment) || '_' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+  REPLACE(LOWER(c_name), ' ', '_') AS name_slug
+FROM customer
+"""
+
+
+def q_date_funcs(spark, sf):  # F5: to_date / date_format / weekofyear / is_weekend
+    o = t(spark, sf, "orders")
+    dow = F.dayofweek("o_orderdate")  # Spark: 1=Sunday..7=Saturday
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+        F.date_format("o_orderdate", "yyyyMM").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("order_week"),
+        F.when(dow.isin(1, 7), 1).otherwise(0).cast("int").alias("is_weekend"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+  strftime(o_orderdate, '%Y%m') AS order_month,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(weekofyear(o_orderdate) AS INT) AS order_week,
+  CAST(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END AS INT) AS is_weekend
+FROM orders
+"""
+
+
+def q_hash_bucket(spark, sf):  # F6 + J6: md5 bucket + collision-list override
+    c = t(spark, sf, "customer")
+    collisions = [1, 7, 42]  # sentinel override list (reference: rehash .npy sidecar)
+    bucket = spark_md5_bucket(F.col("c_custkey"), 100)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey").isin(collisions), F.lit(100))
+        .otherwise(bucket)
+        .alias("hash_bucket"),
+    )
+
+
+SQL_HASH_BUCKET = f"""
+SELECT c_custkey,
+  CASE WHEN c_custkey IN (1, 7, 42) THEN 100
+       ELSE {sql_md5_bucket('c_custkey', 100)} END AS hash_bucket
+FROM customer
+"""
+
+
+def q_encode_categorical(spark, sf):  # F7: dict encode, 0 = unknown
+    mapping = {"BUILDING": 1, "AUTOMOBILE": 2, "MACHINERY": 3, "HOUSEHOLD": 4}
+    c = t(spark, sf, "customer")
+    expr = F.lit(0)
+    for k, v in reversed(mapping.items()):
+        expr = F.when(F.col("c_mktsegment") == k, F.lit(v)).otherwise(expr)
+    return c.select("c_custkey", expr.cast("int").alias("segment_code"))
+
+
+SQL_ENCODE = """
+SELECT c_custkey,
+  CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+       WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4 ELSE 0 END AS INT) AS segment_code
+FROM customer
+"""
+
+
+def q_derived_arithmetic(spark, sf):  # F10: weighted_lr-style gated arithmetic
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.least(F.col("l_quantity"), F.lit(30.0)) / 30.0
+            * (1.0 - F.col("l_discount"))
+            * F.when(F.col("l_returnflag") == "R", 0.5).otherwise(1.0),
+            R,
+        ).alias("weighted_score"),
+    )
+
+
+SQL_DERIVED = f"""
+SELECT l_orderkey, l_linenumber,
+  ROUND(LEAST(l_quantity, 30.0) / 30.0 * (1.0 - l_discount)
+        * CASE WHEN l_returnflag = 'R' THEN 0.5 ELSE 1.0 END, {R}) AS weighted_score
+FROM lineitem
+"""
+
+
+def q_deterministic_sample(spark, sf):  # F9/A6: seeded sampling via hash (reproducible)
+    e = t(spark, sf, "events")
+    r = spark_md5_bucket(F.concat(F.col("user_id").cast("string"), F.lit("|"),
+                                  F.col("event_id").cast("string")), 1000)
+    sampled = e.withColumn("__r", r).where(F.col("__r") < 100)  # 10% sample
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+SQL_SAMPLE = f"""
+SELECT event_type, COUNT(*) AS n_sampled FROM events
+WHERE {sql_md5_bucket("CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)", 1000)} < 100
+GROUP BY event_type
+"""

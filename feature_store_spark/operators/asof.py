@@ -130,7 +130,7 @@ def _merge_window(u, on, obs, obs_time, feature_cols, lookback,
         lb_us = duration_to_us(lookback)
         expired = (
             F.unix_micros(F.col(obs_time).cast("timestamp"))
-            - F.unix_micros(F.col(_PAYLOAD)[feature_time])
+            - F.unix_micros(F.col(_PAYLOAD)[feature_time].cast("timestamp"))
         ) > F.lit(lb_us)
         out = out.withColumn(
             _PAYLOAD, F.when(expired, F.lit(None)).otherwise(F.col(_PAYLOAD))

@@ -60,13 +60,13 @@ def with_rolling(
     with partition-local sorted frames; replaces the reference's broadcast
     interval-join pattern (J3) which replicates every event per window.
     """
-    secs = duration_to_us(window) // 1_000_000
-    epoch = "__epoch_s"
-    df = df.withColumn(epoch, F.col(ts).cast("timestamp").cast("long"))
+    us = duration_to_us(window)
+    epoch = "__epoch_us"
+    df = df.withColumn(epoch, F.unix_micros(F.col(ts).cast("timestamp")))
     w = (
         Window.partitionBy(entity)
         .orderBy(F.col(epoch))
-        .rangeBetween(-secs, 0)
+        .rangeBetween(-us, 0)
     )
     for out, agg in aggs.items():
         df = df.withColumn(out, agg.over(w))

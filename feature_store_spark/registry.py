@@ -1,0 +1,70 @@
+"""Central query registry: name → (spark callable, oracle SQL | None).
+
+This is what ``__spark_entry__.py`` exposes to the driver and what
+``scripts/check_correctness.py`` verifies locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_store_spark import entry_queries as eq
+from feature_store_spark import text_queries as tq
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (spark_fn, oracle_sql or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # aggregations (SURVEY §2.4)
+    "rollup_sum_max": (eq.q_rollup_sum_max, eq.SQL_ROLLUP),
+    "group_count": (eq.q_group_count, eq.SQL_GROUP_COUNT),
+    "count_distinct": (eq.q_count_distinct, eq.SQL_COUNT_DISTINCT),
+    "pivot": (eq.q_pivot, eq.SQL_PIVOT),
+    "max_by": (eq.q_max_by, eq.SQL_MAX_BY),
+    "distinct": (eq.q_distinct, eq.SQL_DISTINCT),
+    # windows (SURVEY §2.5 + north rule)
+    "dedup_latest": (eq.q_dedup_latest, eq.SQL_DEDUP_LATEST),
+    "rank_bucket": (eq.q_rank_bucket, eq.SQL_RANK_BUCKET),
+    "lag_lead": (eq.q_lag_lead, eq.SQL_LAG_LEAD),
+    "rolling": (eq.q_rolling, eq.SQL_ROLLING),
+    "sessionize": (eq.q_sessionize, eq.SQL_SESSIONIZE),
+    # joins (SURVEY §2.3)
+    "left_join": (eq.q_left_join, eq.SQL_LEFT_JOIN),
+    "broadcast_join": (eq.q_broadcast_join, eq.SQL_BROADCAST_JOIN),
+    "semi_join": (eq.q_semi_join, eq.SQL_SEMI_JOIN),
+    "anti_join": (eq.q_anti_join, eq.SQL_ANTI_JOIN),
+    "asof_join": (eq.q_asof_join, eq.SQL_ASOF),
+    "asof_lookback": (eq.q_asof_lookback, eq.SQL_ASOF_LOOKBACK),
+    "range_join": (eq.q_range_join, eq.SQL_RANGE_JOIN),
+    # set ops + scalar functions (SURVEY §2.7, §2.8)
+    "union": (eq.q_union, eq.SQL_UNION),
+    "conditional_binning": (eq.q_conditional_binning, eq.SQL_CONDITIONAL),
+    "string_funcs": (eq.q_string_funcs, eq.SQL_STRING_FUNCS),
+    "date_funcs": (eq.q_date_funcs, eq.SQL_DATE_FUNCS),
+    "hash_bucket": (eq.q_hash_bucket, eq.SQL_HASH_BUCKET),
+    "encode_categorical": (eq.q_encode_categorical, eq.SQL_ENCODE),
+    "derived_arithmetic": (eq.q_derived_arithmetic, eq.SQL_DERIVED),
+    "deterministic_sample": (eq.q_deterministic_sample, eq.SQL_SAMPLE),
+    # text analysis
+    "text_stats": (tq.q_text_stats, tq.SQL_TEXT_STATS),
+    "lang_id": (tq.q_lang_id, tq.SQL_LANG_ID),
+    "fingerprint": (tq.q_fingerprint, tq.SQL_FINGERPRINT),
+    # dedup family
+    "minhash_signatures": (tq.q_minhash_signatures, tq.SQL_MINHASH),
+    "lsh_pairs": (tq.q_lsh_pairs, tq.SQL_LSH_PAIRS),
+    "simhash": (tq.q_simhash, tq.SQL_SIMHASH),
+    "ngram_jaccard": (tq.q_ngram_jaccard, tq.SQL_NGRAM_JACCARD),
+    # similarity search
+    "cosine_topk": (tq.q_cosine_topk, tq.SQL_COSINE_TOPK),
+    "embedding_near_dup": (tq.q_embedding_near_dup, tq.SQL_EMBEDDING_NEAR_DUP),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,380 @@
+"""Training-data-pipeline operators over `documents` and `embeddings`:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), and text
+analysis (token stats, quality score, language-ID heuristic, fingerprints).
+
+All hot-path math is JVM-side builtins (split/transform/filter/aggregate
+higher-order functions) — no Python UDFs.  Every query has a DuckDB oracle
+twin using the same deterministic md5-based hashing so values match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_store_spark.entry_queries import R, sql_md5_bucket, t
+
+# deterministic 60-bit hash shared by both dialects
+def _spark_h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_TOKS = "split(text, ' ')"
+_STOPWORDS = "('the', 'a', 'data', 'value')"
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+def q_text_stats(spark, sf):  # token counting + quality ratios
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, R).alias("type_token_ratio"),
+        F.expr(f"size(filter({_TOKS}, x -> x IN {_STOPWORDS}))")
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  LENGTH(text) AS text_len,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')), {R}) AS type_token_ratio,
+  CAST(len(list_filter(string_split(text, ' '),
+       x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):  # n-gram/stopword heuristic language vote
+    d = t(spark, sf, "documents")
+    en_score = F.expr(
+        f"size(filter({_TOKS}, x -> x IN ('the', 'a', 'of', 'and')))"
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en_score.cast("long").alias("en_score"),
+        F.when(en_score >= 3, "en").otherwise("unk").alias("lang_guess"),
+    )
+
+
+SQL_LANG_ID = """
+SELECT doc_id, lang,
+  CAST(len(list_filter(string_split(text, ' '),
+       x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS en_score,
+  CASE WHEN len(list_filter(string_split(text, ' '),
+       x -> x IN ('the', 'a', 'of', 'and'))) >= 3 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf):  # document fingerprint (normalized md5) + exact dedup
+    d = t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    fp = F.md5(norm)
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# =====================================================================
+# Deduplication family
+# =====================================================================
+
+_N_MINHASH = 4  # hash functions; 2 bands × 2 rows
+
+
+def q_minhash_signatures(spark, sf):
+    """MinHash over 3-word shingles: signature rows (doc_id, hash_idx, minhash).
+
+    Scale path: shingle → explode → groupBy(doc, hash_idx).min — one shuffle,
+    map-side partial min, no pairwise work.
+    """
+    d = t(spark, sf, "documents")
+    shingles = F.expr(
+        f"transform(sequence(0, size({_TOKS}) - 3), "
+        f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))"
+    )
+    ex = d.select("doc_id", F.explode(shingles).alias("s"))
+    hs = ex.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("hash_idx"),
+        "s",
+    ).select(
+        "doc_id",
+        "hash_idx",
+        _spark_h60(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+    )
+    return hs.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+SQL_MINHASH = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id,
+         list_transform(generate_series(1, len(tk) - 2),
+           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (SELECT doc_id, h.h AS hash_idx,
+         {_sql_h60("CAST(h.h AS VARCHAR) || '|' || s")} AS hv
+       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS h) h)
+SELECT doc_id, hash_idx, MIN(hv) AS minhash FROM hs GROUP BY doc_id, hash_idx
+"""
+
+
+def q_lsh_pairs(spark, sf):
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Band key = md5 of the band's minhash values; pairs sharing any band
+    bucket are candidates.  Scale path: groupBy band bucket (shuffle on
+    band key) instead of all-pairs comparison.
+    """
+    sig = q_minhash_signatures(spark, sf)
+    piv = sig.groupBy("doc_id").pivot("hash_idx", list(range(_N_MINHASH))).agg(
+        F.first("minhash")
+    )
+    bands = piv.select(
+        "doc_id",
+        F.md5(F.concat_ws("_", F.col("0"), F.col("1"))).alias("b0"),
+        F.md5(F.concat_ws("_", F.col("2"), F.col("3"))).alias("b1"),
+    )
+    eb = bands.select(
+        "doc_id", F.explode(F.array("b0", "b1")).alias("bucket")
+    )
+    a = eb.alias("a")
+    b = eb.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_LSH_PAIRS = f"""
+WITH sig AS ({SQL_MINHASH}),
+piv AS (SELECT doc_id,
+          MAX(CASE WHEN hash_idx = 0 THEN minhash END) AS h0,
+          MAX(CASE WHEN hash_idx = 1 THEN minhash END) AS h1,
+          MAX(CASE WHEN hash_idx = 2 THEN minhash END) AS h2,
+          MAX(CASE WHEN hash_idx = 3 THEN minhash END) AS h3
+        FROM sig GROUP BY doc_id),
+bands AS (SELECT doc_id,
+            md5(CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR)) AS b0,
+            md5(CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR)) AS b1
+          FROM piv),
+eb AS (SELECT doc_id, unnest([b0, b1]) AS bucket FROM bands)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf):
+    """SimHash (16-bit) per document: per-token 60-bit hash, majority vote
+    per bit position.  Explode tokens×bits → groupBy — pure shuffle+agg."""
+    d = t(spark, sf, "documents")
+    ex = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = ex.select("doc_id", _spark_h60(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr(
+            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        agg.withColumn(
+            "bitval",
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = f"""
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_sql_h60("tok")} AS h FROM ex),
+bits AS (SELECT doc_id, b.bit AS bit,
+           CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM hashed CROSS JOIN
+           (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b),
+agg AS (SELECT doc_id, bit, SUM(vote) AS v FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram (3-shingle) Jaccard for consecutive doc pairs —
+    the verification kernel the LSH candidates feed at scale."""
+    d = t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size({_TOKS}) - 3), "
+                f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.withColumn("doc_id", F.col("doc_id") - 1).alias("b")
+    pairs = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "inner").select(
+        F.col("a.doc_id").alias("doc_a"),
+        (F.col("a.doc_id") + 1).alias("doc_b"),
+        F.col("a.sh").alias("sa"),
+        F.col("b.sh").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(inter / union, R).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+                     string_split(text,' ')[i+2]))) AS s
+  FROM documents)
+SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+  ROUND(len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))), {R}) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def q_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 50 == 0).  Scale path: broadcast the query side; each
+    executor scans its shard of the corpus once (map-side), then a
+    per-query top-k shuffle of only k rows per partition."""
+    e = t(spark, sf, "embeddings")
+    q = (
+        e.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = (
+        _dot("q_emb", "embedding")
+        / F.sqrt(_dot("q_emb", "q_emb"))
+        / F.sqrt(_dot("embedding", "embedding"))
+    )
+    scored = j.select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.q_emb, e.embedding::DOUBLE[])
+      / sqrt(list_dot_product(q.q_emb, q.q_emb))
+      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM scored)
+SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) among a
+    label-bucketed candidate set — bucketing by label stands in for the
+    IVF/LSH partitioner at scale (only same-bucket pairs compared)."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = (
+        _dot("a.embedding", "b.embedding")
+        / F.sqrt(_dot("a.embedding", "a.embedding"))
+        / F.sqrt(_dot("b.embedding", "b.embedding"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim FROM p WHERE cos >= 0.9
+"""
