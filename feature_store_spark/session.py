@@ -27,6 +27,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "32m",
     # Deterministic session timezone so date functions match the oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Partition values stay strings ("2024-01-05") — no surprise casts
+    # between manifest keys and partition-column comparisons.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.driver.memory": "8g",
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",

@@ -1,0 +1,180 @@
+"""End-to-end golden parity + resume + backfill tests (SURVEY.md §5 rebuild
+plan #1, #4 and FIXTURES.md invariant #4).
+
+The engine's partition-by-partition materialization must equal the
+brute-force pandas oracle at every entity×timestamp (numpy allclose for
+numeric features, exact equality for captions/ids), resume after an
+interrupted run without recomputing finished partitions, and produce
+identical output when dates are processed incrementally vs in one shot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_store_spark.io.tables import PartitionedTable
+from feature_store_spark.pipeline.datagen import (
+    generate_images,
+    generate_observations,
+)
+from feature_store_spark.pipeline.materialize import (
+    FEATURE_COLS,
+    CheckpointManifest,
+    LineageLog,
+    compute_features,
+    materialize,
+)
+from feature_store_spark.pipeline.oracle import (
+    oracle_asof,
+    oracle_image_features,
+    oracle_rolling_sum_count,
+    oracle_sessionize,
+)
+
+N_IMAGES, N_ENTITIES, N_OBS = 600, 25, 220
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipeline"))
+    img_pdf = generate_images(n_rows=N_IMAGES, n_entities=N_ENTITIES, seed=11)
+    obs_pdf = generate_observations(img_pdf, n_obs=N_OBS, seed=12)
+    obs_pdf["obs_date"] = obs_pdf["obs_time"].dt.strftime("%Y-%m-%d")
+    img_pdf = img_pdf.copy()
+    img_pdf["event_date"] = img_pdf["event_time"].dt.strftime("%Y-%m-%d")
+
+    images_t = PartitionedTable(root, "images", "event_date")
+    obs_t = PartitionedTable(root, "observations", "obs_date")
+    images_t.write(spark.createDataFrame(img_pdf), mode="overwrite")
+    obs_t.write(spark.createDataFrame(obs_pdf), mode="overwrite")
+    return root, img_pdf, obs_pdf, images_t, obs_t
+
+
+def _oracle_output(img_pdf: pd.DataFrame, obs_pdf: pd.DataFrame) -> pd.DataFrame:
+    feats = oracle_image_features(img_pdf)
+    roll = oracle_rolling_sum_count(
+        feats.rename(columns={"mean_r": "v"}).assign(v2=1),
+        "image_id", "event_time", "v", 86400,
+    )
+    feats["roll_cnt_1d"] = roll["roll_cnt"].astype("int64")
+    feats["roll_mean_r_1d"] = roll["roll_sum"] / roll["roll_cnt"]
+    sess = oracle_sessionize(
+        feats, "image_id", "event_time", 1800, tiebreak=["phash"]
+    )
+    feats = sess
+    feats["lag_phash"] = (
+        feats.sort_values(["image_id", "event_time", "phash"], kind="stable")
+        .groupby("image_id")["phash"].shift(1)
+    )
+    feats["session_id"] = (
+        feats["image_id"] + "#" + feats["session_idx"].astype(str)
+    )
+    return oracle_asof(
+        obs_pdf, feats, "image_id", "obs_time", "event_time",
+        FEATURE_COLS, lookback_us=None, tiebreak=["phash", "caption"],
+    )
+
+
+def _run_all(spark, setup, subdir: str):
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    out_t = PartitionedTable(f"{root}/{subdir}", "features", "obs_date")
+    ckpt = CheckpointManifest(f"{root}/{subdir}/_checkpoint.jsonl")
+    lin = LineageLog(f"{root}/{subdir}/_lineage.jsonl")
+    processed = materialize(
+        spark, images_t, obs_t, out_t, ckpt, lin, asof_strategy="sliced"
+    )
+    return out_t, ckpt, lin, processed
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, setup):
+    return _run_all(spark, setup, "full")
+
+
+def test_golden_parity_vs_oracle(spark, setup, full_run):
+    _, img_pdf, obs_pdf, _, _ = setup
+    out_t, _, _, _ = full_run
+    got = (
+        out_t.read(spark)
+        .toPandas()
+        .sort_values(["image_id", "obs_time", "phash"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_output(img_pdf, obs_pdf)
+        .sort_values(["image_id", "obs_time", "phash"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(obs_pdf)
+    # exact: ids, captions, session ids, phash, lag
+    for c in ["image_id", "caption", "session_id"]:
+        assert got[c].fillna("∅").tolist() == want[c].fillna("∅").tolist(), c
+    for c in ["phash", "lag_phash", "dec_w", "dec_h", "roll_cnt_1d"]:
+        assert (
+            got[c].fillna(-1).astype("float64").to_numpy()
+            == want[c].fillna(-1).astype("float64").to_numpy()
+        ).all(), c
+    # allclose: numeric feature vector per entity×timestamp
+    for c in ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+              "roll_mean_r_1d"]:
+        assert np.allclose(
+            got[c].to_numpy(float), want[c].astype("float64").to_numpy(float),
+            equal_nan=True,
+        ), c
+    # zero leakage
+    ok = got.dropna(subset=["feature_ts"])
+    assert (ok["feature_ts"] <= ok["obs_time"]).all()
+
+
+def test_lineage_records(full_run, setup):
+    _, _, obs_pdf, _, _ = setup
+    _, _, lin, processed = full_run
+    recs = lin.records()
+    assert len(recs) == len(processed) == obs_pdf["obs_date"].nunique()
+    first_event_date = setup[1]["event_time"].min().strftime("%Y-%m-%d")
+    for r in recs:
+        assert r["input_snapshot"].startswith("snap-")
+        assert r["rows_obs"] == r["rows_out"] > 0  # row preservation
+        assert r["skew_max_over_mean"] >= 1.0
+        # watermark = max visible event_time; null only for partitions whose
+        # horizon predates the first feature event
+        if r["partition"] >= first_event_date:
+            assert r["watermark"] is not None
+
+
+def test_resume_skips_done_partitions(spark, setup, full_run):
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    out_full, _, _, _ = full_run
+    # simulate a kill: process only the first 3 partitions, then resume
+    out_t = PartitionedTable(f"{root}/resume", "features", "obs_date")
+    ckpt = CheckpointManifest(f"{root}/resume/_checkpoint.jsonl")
+    lin = LineageLog(f"{root}/resume/_lineage.jsonl")
+    all_parts = obs_t.partitions()
+    first = materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                        dates=all_parts[:3], asof_strategy="union")
+    assert first == all_parts[:3]
+    resumed = materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                          asof_strategy="union")
+    assert resumed == all_parts[3:]  # finished partitions skipped
+    a = out_t.read(spark).toPandas().sort_values(
+        ["image_id", "obs_time", "phash"], kind="stable").reset_index(drop=True)
+    b = out_full.read(spark).toPandas().sort_values(
+        ["image_id", "obs_time", "phash"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_backfill_idempotent(spark, setup, full_run):
+    root, _, _, images_t, obs_t = setup
+    out_t, ckpt, lin, processed = full_run
+    before = out_t.read(spark, partitions=[processed[0]]).toPandas()
+    again = materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                        dates=[processed[0]], asof_strategy="sliced")
+    assert again == [processed[0]]
+    after = out_t.read(spark, partitions=[processed[0]]).toPandas()
+    key = ["image_id", "obs_time", "phash"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key, kind="stable").reset_index(drop=True),
+        after.sort_values(key, kind="stable").reset_index(drop=True),
+    )
