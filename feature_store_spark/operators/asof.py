@@ -168,7 +168,16 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
     def ts_slice(col):
         return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(slice_us)).cast("long")
 
-    f = features.withColumn(_SLICE, ts_slice(feature_time))
+    # The feature subtree is consumed three times below (carry candidates,
+    # slice list, tagged union).  Project it down to the join-relevant
+    # columns (binary payloads are gone by contract — only feature_cols
+    # travel) and persist, so an expensive upstream (decode UDFs, window
+    # stack) is computed once, not three times.
+    f = features.select(
+        on, feature_time, *feature_cols,
+        *[c for c in tiebreak_cols if c not in feature_cols and c != feature_time],
+    ).withColumn(_SLICE, ts_slice(feature_time))
+    f = f.persist()
     o = obs.withColumn(_SLICE, ts_slice(obs_time))
 
     # (2) last feature row per (entity, slice) — carry candidates.
@@ -183,7 +192,9 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
     )
 
     # (3) slice-granularity strict as-of: feature slice key 2s+1, obs key 2s.
-    fsl = f.select(F.col(on), F.col(_SLICE)).distinct().withColumn(
+    # carry_cand already holds exactly one row per (entity, slice) — reuse it
+    # instead of a second full-table distinct.
+    fsl = carry_cand.select(F.col(on), F.col(_SLICE)).withColumn(
         "__key", F.col(_SLICE) * 2 + 1
     ).withColumn("__fslice", F.col(_SLICE))
     osl = o.select(F.col(on), F.col(_SLICE)).distinct().withColumn(

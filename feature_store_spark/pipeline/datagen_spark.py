@@ -1,0 +1,147 @@
+"""Scalable deterministic datagen in pure Spark expressions.
+
+For multi-million-row bench inputs the pandas generator (per-row Python) is
+the bottleneck, so this generator derives every column from md5 of the row
+id — fully deterministic, embarrassingly parallel, no Python on executors.
+This is also the 100 TB story: synthesizing a 10^12-row test table is a
+`spark.range` + column expressions, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _h(seed: str, salt: str) -> "F.Column":
+    """Deterministic pseudo-random long in [0, 2^60) from (seed, salt, id)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.lit(salt),
+                                      F.col("id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def synth_feature_events(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int,
+    seed: str = "42",
+    base_ts: str = "2024-01-01",
+    span_days: int = 30,
+    skew_power: int = 2,
+) -> DataFrame:
+    """Feature-side event table (entity, event_time, numeric features).
+
+    ``skew_power`` > 1 skews entities toward low ids (hot entities), the
+    salting/AQE stressor the north rule names.
+    """
+    span_s = span_days * 86400
+    df = spark.range(n_rows)
+    u = (_h(seed, "e") % 1_000_000) / 1_000_000.0  # uniform [0,1)
+    ent = F.floor(F.pow(u, F.lit(skew_power)) * n_entities).cast("long")
+    ts = F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), (_h(seed, "t") % span_s).cast("double")
+    )
+    return df.select(
+        F.concat(F.lit("ent_"), ent.cast("string")).alias("entity_id"),
+        ts.alias("event_time"),
+        ((_h(seed, "v") % 100_000) / 1000.0).alias("fv1"),
+        (_h(seed, "p")).alias("fv2"),
+        F.col("id").alias("seq"),
+    )
+
+
+def synth_images(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int,
+    seed: int = 42,
+    base_ts: str = "2024-01-01",
+    span_days: int = 30,
+    skew_power: int = 2,
+) -> DataFrame:
+    """images table (input_hint shape) generated ON EXECUTORS: ids/times via
+    md5 expressions, pixels+encode via an Arrow-batched pandas UDF — the
+    parallel path for bench-scale data (the pandas generator is driver-bound).
+    """
+    from feature_store_spark.functions.images import (
+        decode_image,
+        encode_image,
+        phash64,
+    )
+
+    span_s = span_days * 86400
+    sseed = str(seed)
+    df = spark.range(n_rows)
+    u = (_h(sseed, "e") % 1_000_000) / 1_000_000.0
+    ent = F.floor(F.pow(u, F.lit(skew_power)) * n_entities).cast("long")
+    ts = F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), (_h(sseed, "t") % span_s).cast("double")
+    )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(payload_schema)
+    def gen_payload(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        vocab = ("sunset harbor mountain forest river skyline bridge market "
+                 "temple garden bicycle lantern festival monsoon valley "
+                 "pagoda island delta boat street").split()
+        rows = []
+        for rid in ids:
+            rng = np.random.default_rng([seed, int(rid)])
+            w = int(rng.integers(8, 33))
+            h = int(rng.integers(8, 33))
+            fmt = "png" if rng.random() < 0.5 else "jpeg"
+            cap = " ".join(vocab[i] for i in rng.integers(0, len(vocab),
+                                                          int(rng.integers(3, 8))))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = encode_image(px, fmt)
+            ph = phash64(decode_image(data))
+            rows.append((data, w, h, fmt, cap, ph))
+        return pd.DataFrame(
+            rows, columns=["bytes", "w", "h", "fmt", "caption", "phash"]
+        )
+
+    return df.select(
+        F.concat(F.lit("img_"), ent.cast("string")).alias("image_id"),
+        ts.alias("event_time"),
+        gen_payload(F.col("id")).alias("p"),
+    ).select("image_id", "p.*", "event_time")
+
+
+def synth_observations(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int,
+    seed: str = "43",
+    base_ts: str = "2024-01-01",
+    span_days: int = 31,
+    skew_power: int = 2,
+    prefix: str = "ent_",
+) -> DataFrame:
+    span_s = span_days * 86400
+    df = spark.range(n_rows)
+    u = (_h(seed, "e") % 1_000_000) / 1_000_000.0
+    ent = F.floor(F.pow(u, F.lit(skew_power)) * n_entities).cast("long")
+    ts = F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), (_h(seed, "t") % span_s).cast("double")
+    )
+    return df.select(
+        F.concat(F.lit(prefix), ent.cast("string")).alias("entity_id"),
+        ts.alias("obs_time"),
+        F.col("id").alias("obs_id"),
+    )

@@ -1,0 +1,85 @@
+"""Online-serving path: latest-snapshot store, multi-get, cold-start fill.
+
+Reference parity (SURVEY.md §2.3 J9, §3.3): the reference materializes
+latest feature values per key to Redis (``materialize_pipeline.py:133-136``)
+and at inference multi-gets them, pandas-merges onto the request spine, and
+default-fills cold-start users from the ``0#empty`` sentinel row
+(``infer_pipeline.py:54-140``; sentinel injected at
+``preprocess/feature_preprocessing.py:42-69`` — reference U2).
+
+The sandbox has no Redis, so ``OnlineStore`` is a parquet-backed KV table
+behind the same interface a ``spark-redis`` sink would fill; the serving
+logic (multi-get + merge + default fill) is identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DEFAULT_KEY = "__default__"  # ≈ the reference's "0#empty" sentinel row
+
+
+class OnlineStore:
+    """Latest-value KV store: one parquet table per feature group."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def publish(self, table: str, latest: DataFrame, key: str,
+                defaults: dict | None = None) -> None:
+        """Write the latest-per-key snapshot; optionally include a sentinel
+        default row used for cold-start fill (reference U2 semantics).
+
+        Keys are stored as strings — the KV-store contract (the reference's
+        Redis keys are strings like ``0#empty``) — so the sentinel row can
+        coexist with any key dtype.
+        """
+        pdf = latest.toPandas()
+        pdf[key] = pdf[key].astype(str)
+        if defaults is not None:
+            sentinel = {c: defaults.get(c) for c in pdf.columns}
+            sentinel[key] = DEFAULT_KEY
+            pdf = pd.concat([pd.DataFrame([sentinel]), pdf], ignore_index=True)
+        pdf.to_parquet(self._path(table), index=False)
+
+    def multi_get(self, table: str, keys: list, key: str) -> pd.DataFrame:
+        """Fetch rows for the requested keys (the Redis multi-get)."""
+        pdf = pd.read_parquet(self._path(table))
+        return pdf[pdf[key].isin([str(k) for k in keys])].reset_index(drop=True)
+
+    def get_defaults(self, table: str, key: str) -> pd.Series | None:
+        pdf = pd.read_parquet(self._path(table))
+        hit = pdf[pdf[key] == DEFAULT_KEY]
+        return hit.iloc[0] if len(hit) else None
+
+
+def infer(
+    store: OnlineStore,
+    spine: pd.DataFrame,
+    tables: dict[str, str],
+) -> pd.DataFrame:
+    """Serve features for a request spine: per feature group, multi-get by
+    key, left-merge onto the spine, and fill cold-start rows from the
+    sentinel defaults — the reference's ``InferPipeline.run`` flow."""
+    out = spine.copy()
+    for table, key in tables.items():
+        got = store.multi_get(table, out[key].unique().tolist(), key)
+        # store keys are strings; merge on a stringified view of the spine key
+        got = got.rename(columns={key: "__store_key"})
+        out["__store_key"] = out[key].astype(str)
+        out = out.merge(got, on="__store_key", how="left").drop(
+            columns="__store_key")
+        defaults = store.get_defaults(table, key)
+        if defaults is not None:
+            feat_cols = [c for c in got.columns if c != "__store_key"]
+            miss = out[feat_cols[0]].isna() if feat_cols else None
+            for c in feat_cols:
+                out.loc[miss, c] = defaults[c]
+    return out

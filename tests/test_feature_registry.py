@@ -1,0 +1,153 @@
+"""Feature-registry (Feathr-DSL replacement) + online infer path tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_store_spark.pipeline.infer import DEFAULT_KEY, OnlineStore, infer
+from feature_store_spark.plans.features import (
+    DerivedFeature,
+    Feature,
+    FeatureAnchor,
+    FeatureRegistry,
+    WindowAggFeature,
+    get_offline_features,
+    materialize_latest,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(h):
+    return T0 + dt.timedelta(hours=h)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": ["u1"] * 4 + ["u2"] * 2,
+                "date_time": [_ts(0), _ts(1), _ts(30), _ts(200), _ts(2), _ts(3)],
+                "duration": [100, 200, 300, 400, 50, 60],
+                "seq": [0, 1, 2, 3, 4, 5],
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u1", "u2"], "age": [30.0, None],
+                      "province": ["HNI", "HCM"]})
+    )
+    obs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": ["u1", "u1", "u2", "u3"],
+                "obs_time": [_ts(2), _ts(31), _ts(4), _ts(5)],
+            }
+        )
+    )
+    return events, dim, obs
+
+
+@pytest.fixture(scope="module")
+def registry():
+    reg = FeatureRegistry()
+    reg.register_anchor(
+        FeatureAnchor(
+            name="user_events",
+            key="user_id",
+            event_time="date_time",
+            tiebreak=["seq"],
+            features=[
+                Feature("capped_duration", "least(duration, 250)", "double"),
+            ],
+            window_features=[
+                WindowAggFeature("dur_sum_1d", "duration", agg="sum", window="1d"),
+                WindowAggFeature("last_duration", "duration", agg="latest",
+                                 window="7d", dtype="double"),
+            ],
+        )
+    )
+    reg.register_anchor(
+        FeatureAnchor(
+            name="user_dim",
+            key="user_id",
+            features=[
+                Feature("age_group",
+                        "CASE WHEN age IS NULL THEN 'unknown' "
+                        "WHEN age < 35 THEN 'young' ELSE 'older' END"),
+                Feature("province", "province"),
+            ],
+        )
+    )
+    reg.register_derived(
+        DerivedFeature("weighted_dur",
+                       "capped_duration / 250 * CASE WHEN age_group = 'young' "
+                       "THEN 2.0 ELSE 1.0 END", "double")
+    )
+    return reg
+
+
+def test_offline_features_pit_correct(spark, frames, registry):
+    events, dim, obs = frames
+    out = get_offline_features(
+        obs, {"user_events": events, "user_dim": dim}, registry
+    ).orderBy("user_id", "obs_time").toPandas()
+    assert len(out) == 4
+    r = out.iloc[0]  # u1 @ h2: events h0(100) + h1(200)
+    assert r["capped_duration"] == 200.0  # least(200,250)
+    assert r["dur_sum_1d"] == 300
+    assert r["last_duration"] == 200.0
+    assert r["age_group"] == "young" and r["province"] == "HNI"
+    assert r["weighted_dur"] == pytest.approx(200 / 250 * 2.0)
+    r = out.iloc[1]  # u1 @ h31: latest = h30 (300); 1d window = h30 only... plus h1? h31-24=h7 → only h30
+    assert r["capped_duration"] == 250.0  # least(300,250)
+    assert r["dur_sum_1d"] == 300
+    r = out.iloc[2]  # u2 @ h4: events h2,h3
+    assert r["last_duration"] == 60.0
+    assert r["dur_sum_1d"] == 110
+    r = out.iloc[3]  # u3: cold start, static dim also missing
+    assert pd.isna(r["last_duration"]) and pd.isna(r["capped_duration"])
+    assert pd.isna(r["age_group"])
+
+
+def test_latest_window_expiry(spark, frames, registry):
+    """agg='latest' window='7d' ⇒ features older than 7d are nulled (J8)."""
+    events, dim, obs = frames
+    late_obs = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u2"], "obs_time": [_ts(3 + 24 * 8)]})
+    )
+    out = get_offline_features(
+        late_obs, {"user_events": events, "user_dim": dim}, registry
+    ).toPandas()
+    assert pd.isna(out.iloc[0]["last_duration"])  # 8d old > 7d window
+    assert out.iloc[0]["province"] == "HCM"  # static dim unaffected
+
+
+def test_materialize_latest_and_infer(spark, frames, registry, tmp_path):
+    events, dim, obs = frames
+    latest = materialize_latest(events, registry.anchors["user_events"])
+    pdf = latest.toPandas().set_index("user_id")
+    assert pdf.loc["u1", "capped_duration"] == 250.0  # from h200 event (400)
+    assert pdf.loc["u2", "last_duration"] == 60
+
+    store = OnlineStore(str(tmp_path / "online"))
+    store.publish("user_features", latest.drop("date_time", "seq"),
+                  key="user_id",
+                  defaults={"capped_duration": 0.0, "dur_sum_1d": 0,
+                            "last_duration": 0.0})
+    spine = pd.DataFrame({"user_id": ["u1", "u2", "u_cold"]})
+    served = infer(store, spine, {"user_features": "user_id"})
+    assert served.loc[served.user_id == "u1", "capped_duration"].iloc[0] == 250.0
+    # cold-start user filled from sentinel defaults (reference 0#empty flow)
+    cold = served[served.user_id == "u_cold"].iloc[0]
+    assert cold["capped_duration"] == 0.0 and cold["last_duration"] == 0.0
+
+
+def test_duplicate_anchor_rejected(registry):
+    with pytest.raises(ValueError):
+        registry.register_anchor(FeatureAnchor(name="user_events", key="k"))
