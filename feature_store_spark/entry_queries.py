@@ -620,3 +620,62 @@ SELECT event_type, COUNT(*) AS n_sampled FROM events
 WHERE {sql_md5_bucket("CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)", 1000)} < 100
 GROUP BY event_type
 """
+
+def q_two_level_mean(spark, sf):  # A2: count per user-day, then global mean
+    e = t(spark, sf, "events")
+    per_day = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_day.agg(F.round(F.avg("cnt"), R).alias("mean_daily_events"))
+
+
+SQL_TWO_LEVEL_MEAN = f"""
+SELECT ROUND(AVG(cnt), {R}) AS mean_daily_events FROM (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, CAST(ts AS DATE))
+"""
+
+
+def q_default_row_union(spark, sf):  # U2/S9: sentinel default-row injection
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
+                 F.lower(F.trim("c_name"))).alias("user_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "0#empty", "none")], ["c_custkey", "user_key", "segment"]
+    )
+    return sentinel.unionByName(c)
+
+
+SQL_DEFAULT_ROW_UNION = """
+SELECT CAST(-1 AS BIGINT) AS c_custkey, '0#empty' AS user_key, 'none' AS segment
+UNION ALL
+SELECT c_custkey,
+       CAST(c_custkey AS VARCHAR) || '#' || LOWER(TRIM(c_name)) AS user_key,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
+def q_ascii_fold(spark, sf):  # F4: unidecode-style fold, builtin (no UDF)
+    # the reference's lone row-wise Python UDF (item_feature_preprocessing.py:
+    # 182-185) replaced by a JVM-side translate over a fixed diacritic map
+    src = "áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ"
+    dst = "aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd"
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.translate(F.lower("p_name"), src, dst).alias("name_folded"),
+    )
+
+
+SQL_ASCII_FOLD = """
+SELECT p_partkey,
+  translate(LOWER(p_name),
+    'áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ',
+    'aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd')
+    AS name_folded
+FROM part
+"""

@@ -47,6 +47,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "encode_categorical": (eq.q_encode_categorical, eq.SQL_ENCODE),
     "derived_arithmetic": (eq.q_derived_arithmetic, eq.SQL_DERIVED),
     "deterministic_sample": (eq.q_deterministic_sample, eq.SQL_SAMPLE),
+    "two_level_mean": (eq.q_two_level_mean, eq.SQL_TWO_LEVEL_MEAN),
+    "default_row_union": (eq.q_default_row_union, eq.SQL_DEFAULT_ROW_UNION),
+    "ascii_fold": (eq.q_ascii_fold, eq.SQL_ASCII_FOLD),
     # text analysis
     "text_stats": (tq.q_text_stats, tq.SQL_TEXT_STATS),
     "lang_id": (tq.q_lang_id, tq.SQL_LANG_ID),
@@ -59,6 +62,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # similarity search
     "cosine_topk": (tq.q_cosine_topk, tq.SQL_COSINE_TOPK),
     "embedding_near_dup": (tq.q_embedding_near_dup, tq.SQL_EMBEDDING_NEAR_DUP),
+    "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
 }
 
 

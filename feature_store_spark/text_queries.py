@@ -378,3 +378,100 @@ WITH p AS (
     ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim FROM p WHERE cos >= 0.9
 """
+
+
+# =====================================================================
+# LSH-bucketed ANN (the scale path for similarity search: candidates are
+# restricted to one random-hyperplane bucket instead of the full corpus)
+# =====================================================================
+
+import hashlib as _hashlib
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic random-hyperplane weights in [-1, 1], derived from md5
+    of (plane, dim) — identical literals are embedded in the SQL oracle."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = int(_hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def q_ann_lsh(spark, sf):
+    """ANN via random-hyperplane LSH: bucket = sign-bit string over
+    _N_PLANES hyperplanes; top-3 cosine neighbors within the query's
+    bucket.  At corpus scale this replaces the O(N) scan per query with a
+    bucket-local scan (expected N / 2^planes)."""
+    planes = _plane_weights()
+    e = t(spark, sf, "embeddings")
+
+    def bucket_expr(emb_col: str):
+        bits = []
+        for p, w in enumerate(planes):
+            arr = "array(" + ",".join(f"{v}D" for v in w) + ")"
+            dot = (f"aggregate(zip_with({emb_col}, {arr}, "
+                   f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+                   f"(acc, v) -> acc + v)")
+            bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ",".join(bits) + ")")
+
+    eb = e.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
+    q = (
+        eb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+                F.col("bucket"))
+    )
+    j = eb.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    cos = (
+        _dot("q_emb", "embedding")
+        / F.sqrt(_dot("q_emb", "q_emb"))
+        / F.sqrt(_dot("embedding", "embedding"))
+    )
+    from pyspark.sql import Window
+
+    scored = j.select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos"), "bucket")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"),
+                F.col("rnk").cast("int").alias("rnk"), "bucket")
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = _plane_weights()
+    bits = []
+    for w in planes:
+        arr = "[" + ",".join(str(v) for v in w) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+WITH eb AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM eb
+      WHERE vec_id % 50 = 0),
+j AS (SELECT q.q_id, eb.vec_id AS neighbor_id, eb.bucket,
+        list_dot_product(q.q_emb::DOUBLE[], eb.embedding::DOUBLE[])
+          / sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+          / sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])) AS cos
+      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.q_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM j)
+SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rnk AS INT) AS rnk, bucket
+FROM r WHERE rnk <= 3
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
