@@ -37,6 +37,9 @@ class PartitionedTable:
 
     def __init__(self, root: str, name: str, partition_col: str):
         self.path = os.path.join(root, name)
+        # data lives under data/ so a full-table overwrite (which removes
+        # the data directory) cannot wipe the snapshot log
+        self.data_path = os.path.join(self.path, "data")
         self.partition_col = partition_col
         self._manifest_path = os.path.join(self.path, "_manifest.json")
 
@@ -69,7 +72,7 @@ class PartitionedTable:
 
     # -- IO ------------------------------------------------------------
     def read(self, spark: SparkSession, partitions: list[str] | None = None) -> DataFrame:
-        df = spark.read.parquet(self.path)
+        df = spark.read.parquet(self.data_path)
         if partitions is not None:
             df = df.where(F.col(self.partition_col).isin(partitions))
         return df
@@ -85,13 +88,13 @@ class PartitionedTable:
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                writer.mode("overwrite").parquet(self.path)
+                writer.mode("overwrite").parquet(self.data_path)
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         elif mode == "append":
-            writer.mode("append").parquet(self.path)
+            writer.mode("append").parquet(self.data_path)
         elif mode == "overwrite":
-            writer.mode("overwrite").parquet(self.path)
+            writer.mode("overwrite").parquet(self.data_path)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return self._commit(mode)
@@ -101,7 +104,7 @@ class PartitionedTable:
         → row-count map (no wall clock, reproducible across reruns)."""
         spark = SparkSession.getActiveSession()
         counts = (
-            spark.read.parquet(self.path)
+            spark.read.parquet(self.data_path)
             .groupBy(self.partition_col)
             .count()
             .collect()

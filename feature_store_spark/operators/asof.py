@@ -154,93 +154,106 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
                  lookback, tiebreak_cols, slice_duration, feature_ts_col):
     """Range-sliced sorted-merge with boundary carry (SURVEY.md §7.2).
 
-    1. Assign every row a time slice ``floor(unix_micros(ts)/slice_us)``.
-    2. Per (entity, feature-slice): keep the LAST feature row (the carry
-       candidate) via dedup-latest window.
-    3. For each (entity, obs-slice), find the latest feature-slice STRICTLY
-       below it (tiny slice-granularity as-of on distinct slice pairs — the
-       ``2k+{0,1}`` key trick makes "strictly less" a plain frame bound).
-    4. Replicate that carry row into the obs slice, then merge per
-       ``(entity, slice)`` partition — partition-local, skew-split.
+    The salting axis the north rule names: rows hash into ``(entity,
+    time-slice)`` partitions, so a hot entity's timeline splits across
+    slices instead of landing in one window task.  Boundary carry is
+    computed in the SAME sort as the in-slice merge (one full-data
+    shuffle total):
+
+    1. Union-tag features (0) and observations (1), keyed by
+       ``(entity, slice = floor(ts / slice_duration))``.
+    2. One window over ``(entity, slice)`` sorted by ``(ts, tag,
+       tiebreaks)`` yields BOTH the running in-slice merge
+       (``last(payload) over (-inf, current)``) and the slice's final
+       feature payload (same window, full-partition frame) — the carry
+       candidate — without a second shuffle.
+    3. Slice-level carry: one row per (entity, slice) → tiny window over
+       entity ordered by slice, frame ``(-inf, -1)`` = latest feature
+       payload of any STRICTLY earlier slice.
+    4. Left-join the carry back on (entity, slice) (broadcast-eligible:
+       slice-level cardinality ≪ row count) and
+       ``coalesce(in_slice_merge, carry)`` — an in-slice feature always
+       beats the carry on recency, so coalesce is exact.
     """
     slice_us = duration_to_us(slice_duration)
 
     def ts_slice(col):
-        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(slice_us)).cast("long")
+        return F.floor(
+            F.unix_micros(F.col(col).cast("timestamp")) / F.lit(slice_us)
+        ).cast("long")
 
-    # The feature subtree is consumed three times below (carry candidates,
-    # slice list, tagged union).  Project it down to the join-relevant
-    # columns (binary payloads are gone by contract — only feature_cols
-    # travel) and persist, so an expensive upstream (decode UDFs, window
-    # stack) is computed once, not three times.
-    f = features.select(
-        on, feature_time, *feature_cols,
-        *[c for c in tiebreak_cols if c not in feature_cols and c != feature_time],
-    ).withColumn(_SLICE, ts_slice(feature_time))
-    f = f.persist()
-    o = obs.withColumn(_SLICE, ts_slice(obs_time))
-
-    # (2) last feature row per (entity, slice) — carry candidates.
-    order_desc = [F.col(feature_time).desc()] + [
-        F.col(c).desc_nulls_last() for c in tiebreak_cols
-    ]
-    wlast = Window.partitionBy(on, _SLICE).orderBy(*order_desc)
-    carry_cand = (
-        f.withColumn("__rn", F.row_number().over(wlast))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-    # (3) slice-granularity strict as-of: feature slice key 2s+1, obs key 2s.
-    # carry_cand already holds exactly one row per (entity, slice) — reuse it
-    # instead of a second full-table distinct.
-    fsl = carry_cand.select(F.col(on), F.col(_SLICE)).withColumn(
-        "__key", F.col(_SLICE) * 2 + 1
-    ).withColumn("__fslice", F.col(_SLICE))
-    osl = o.select(F.col(on), F.col(_SLICE)).distinct().withColumn(
-        "__key", F.col(_SLICE) * 2
-    ).withColumn("__fslice", F.lit(None).cast("long"))
-    slice_u = fsl.unionByName(osl)
-    wsl = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__key"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carry_map = (
-        slice_u.withColumn("__carry_slice", F.last("__fslice", ignorenulls=True).over(wsl))
-        .where(F.col("__fslice").isNull())  # obs-slice rows only
-        .where(F.col("__carry_slice").isNotNull())
-        .select(F.col(on), F.col(_SLICE).alias("__oslice"), "__carry_slice")
-    )
-
-    # (4) replicate carry rows into the obs slices that need them.
-    carry_rows = (
-        carry_cand.withColumnRenamed(_SLICE, "__carry_slice")
-        .join(carry_map, on=[on, "__carry_slice"], how="inner")
-        .withColumn(_SLICE, F.col("__oslice"))
-        .drop("__carry_slice", "__oslice")
-    )
-    f_all = f.unionByName(carry_rows)
-
-    # tag + payload, then partition-local merge per (entity, slice).
-    f_tagged = f_all.select(
+    f_tagged = features.select(
         F.col(on),
-        F.col(_SLICE),
+        ts_slice(feature_time).alias(_SLICE),
         F.col(feature_time).alias(_TS),
         F.lit(0).alias(_TAG),
         F.struct(
-            F.col(feature_time).alias(feature_time), *[F.col(c) for c in feature_cols]
+            F.col(feature_time).alias(feature_time),
+            *[F.col(c) for c in feature_cols],
         ).alias(_PAYLOAD),
         *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
     )
-    o_tagged = o.select(
+    o_tagged = obs.select(
         *[F.col(c) for c in obs.columns],
-        F.col(_SLICE),
+        ts_slice(obs_time).alias(_SLICE),
         F.col(obs_time).alias(_TS),
         F.lit(1).alias(_TAG),
     )
     u = f_tagged.unionByName(o_tagged, allowMissingColumns=True)
-    return _merge_window(
-        u, on, obs, obs_time, feature_cols, lookback, tiebreak_cols,
-        feature_time, feature_ts_col, extra_partition_cols=(_SLICE,),
+    # The union is consumed twice (in-slice merge + carry candidates);
+    # persist the payload projection so an expensive feature subtree
+    # (decode UDFs, window stack) is computed exactly once.  Binary
+    # payloads are gone by contract, so the cached rows are ~100 bytes.
+    u = u.persist()
+
+    order = [F.col(_TS).asc(), F.col(_TAG).asc()] + [
+        F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols
+    ]
+    w_run = (
+        Window.partitionBy(on, _SLICE)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    merged = u.withColumn("__run", F.last(_PAYLOAD, ignorenulls=True).over(w_run))
+
+    # (3) slice-level carry table: the latest feature payload per
+    # (entity, slice) via max_by — a hash aggregate with map-side partial
+    # combine (no second full sort).  Slices that only hold observations
+    # must appear too (with a null payload) so the strict-predecessor
+    # window below can serve them; max() collapses the duplicates.
+    slice_level = (
+        u.groupBy(on, _SLICE)
+        .agg(F.expr(
+            "max_by(CASE WHEN " + _TAG + " = 0 THEN " + _PAYLOAD + " END, "
+            "CASE WHEN " + _TAG + " = 0 THEN struct(" + ", ".join(
+                [_TS] + [f"__tb_{c}" for c in tiebreak_cols]
+            ) + ") END)"
+        ).alias("__slice_last"))
+    )
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col(_SLICE).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = slice_level.withColumn(
+        "__carry", F.last("__slice_last", ignorenulls=True).over(w_carry)
+    ).select(on, _SLICE, "__carry")
+
+    out = (
+        merged.where(F.col(_TAG) == 1)
+        .join(carry, on=[on, _SLICE], how="left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col("__run"), F.col("__carry")))
+    )
+    if lookback is not None:
+        lb_us = duration_to_us(lookback)
+        expired = (
+            F.unix_micros(F.col(obs_time).cast("timestamp"))
+            - F.unix_micros(F.col(_PAYLOAD)[feature_time].cast("timestamp"))
+        ) > F.lit(lb_us)
+        out = out.withColumn(
+            _PAYLOAD, F.when(expired, F.lit(None)).otherwise(F.col(_PAYLOAD))
+        )
+    sel = [F.col(c) for c in obs.columns]
+    sel.append(F.col(_PAYLOAD)[feature_time].alias(feature_ts_col))
+    sel += [F.col(_PAYLOAD)[c].alias(c) for c in feature_cols]
+    return out.select(*sel)

@@ -1,0 +1,164 @@
+"""Deduplication operators over arbitrary DataFrames: exact fingerprinting,
+MinHash signatures + LSH banding, SimHash — the scale path for near-duplicate
+detection on a 10^12-row corpus (no pairwise work until candidates are
+bucketed).
+
+All hashing is the engine's deterministic 60-bit md5 hash
+(``conv(substring(md5(x),1,15),16,10)``), so results are reproducible at any
+parallelism and bit-identical to the SQL oracles in
+``feature_store_spark.text_queries``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def h60(col) -> "F.Column":
+    """Deterministic 60-bit hash of a string column (both-dialect exact)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-text md5 fingerprint groups: (fingerprint, dup_count,
+    canonical id).  Exact dedup = keep canonical per group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("canonical_" + id_col),
+        )
+    )
+
+
+def shingles_expr(text_col: str, n: int = 3) -> str:
+    """SparkSQL expr producing the n-word shingle array of ``text_col``."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{toks}[i+{k}]" for k in range(n))
+    return (
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature rows (id, hash_idx, minhash).
+
+    Scale shape: shingle → explode → groupBy(id, hash_idx).min — one
+    shuffle with map-side partial min; no pairwise comparisons.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("s")
+    )
+    hs = ex.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+        "s",
+    ).select(
+        id_col,
+        "hash_idx",
+        h60(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+    )
+    return hs.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs
+    (id_a < id_b).  Pairs sharing any band bucket are candidates; the
+    shuffle key is the band bucket, never the full corpus cross-product."""
+    piv = signatures.groupBy(id_col).pivot(
+        "hash_idx", list(range(num_hashes))
+    ).agg(F.first("minhash"))
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        cols = [F.col(str(b * band_size + k)) for k in range(band_size)]
+        band_cols.append(F.md5(F.concat_ws("_", *cols)).alias(f"b{b}"))
+    bands = piv.select(id_col, *band_cols)
+    eb = bands.select(
+        id_col,
+        F.explode(F.array(*[f"b{b}" for b in range(n_bands)])).alias("bucket"),
+    )
+    a, b = eb.alias("a"), eb.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+                F.col(f"b.{id_col}").alias(f"{id_col}_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash: per-token 60-bit hash, majority vote per bit.
+    Pure explode + groupBy — a shuffle of (rows × bits) small tuples."""
+    ex = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
+    hashed = ex.select(id_col, h60(F.col("tok")).alias("h"))
+    votes = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        id_col,
+        "bit",
+        F.expr(
+            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    agg = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return (
+        agg.withColumn(
+            "bitval",
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str,
+    id_b: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs — the verification
+    kernel that LSH candidates feed (never run all-pairs)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(shingles_expr(text_col, shingle_n))).alias("__sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, id_a)
+                     .withColumnRenamed("__sh", "__sa"), on=id_a)
+        .join(sh.withColumnRenamed(id_col, id_b)
+                .withColumnRenamed("__sh", "__sb"), on=id_b)
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return out.select(id_a, id_b, (inter / union).alias("jaccard"))

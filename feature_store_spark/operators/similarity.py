@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (``array<float>``): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path.
+
+All vector math is JVM-side higher-order functions (``zip_with`` +
+``aggregate``) — no Python in the scoring loop.  Hyperplanes are derived
+deterministically from md5 so engine and SQL oracles share the exact
+literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def dot_expr(a: str, b: str):
+    """Double-precision dot product of two array columns (JVM-side)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str):
+    return dot_expr(a, b) / F.sqrt(dot_expr(a, a)) / F.sqrt(dot_expr(b, b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k: broadcast the query side, scan the corpus once
+    (map-side scoring), shuffle only k rows per partition per query."""
+    j = corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col))
+    scored = j.select(
+        q_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(q_vec_col, vec_col).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane weights in [-1, 1] from md5(p_d)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket string of a vector over the given hyperplanes."""
+    bits = []
+    for w in planes:
+        arr = "array(" + ",".join(f"{v}D" for v in w) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ",".join(bits) + ")")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query_pred,
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signs, then
+    exact cosine only within the query's bucket (expected corpus/2^planes
+    candidates per query)."""
+    planes = hyperplane_weights(n_planes, dim)
+    eb = corpus.select(
+        id_col, vec_col, lsh_bucket_expr(vec_col, planes).alias("bucket")
+    )
+    q = eb.where(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "bucket"
+    )
+    j = eb.join(F.broadcast(q), on="bucket").where(F.col(id_col) != F.col("q_id"))
+    scored = j.select(
+        "q_id", F.col(id_col).alias("neighbor_id"),
+        cosine_expr("q_emb", vec_col).alias("cos"), "bucket",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

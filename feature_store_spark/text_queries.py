@@ -119,22 +119,11 @@ def q_minhash_signatures(spark, sf):
     Scale path: shingle → explode → groupBy(doc, hash_idx).min — one shuffle,
     map-side partial min, no pairwise work.
     """
-    d = t(spark, sf, "documents")
-    shingles = F.expr(
-        f"transform(sequence(0, size({_TOKS}) - 3), "
-        f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))"
+    from feature_store_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        t(spark, sf, "documents"), num_hashes=_N_MINHASH
     )
-    ex = d.select("doc_id", F.explode(shingles).alias("s"))
-    hs = ex.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("hash_idx"),
-        "s",
-    ).select(
-        "doc_id",
-        "hash_idx",
-        _spark_h60(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
-    )
-    return hs.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 
 SQL_MINHASH = f"""
@@ -158,25 +147,13 @@ def q_lsh_pairs(spark, sf):
     bucket are candidates.  Scale path: groupBy band bucket (shuffle on
     band key) instead of all-pairs comparison.
     """
-    sig = q_minhash_signatures(spark, sf)
-    piv = sig.groupBy("doc_id").pivot("hash_idx", list(range(_N_MINHASH))).agg(
-        F.first("minhash")
+    from feature_store_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        q_minhash_signatures(spark, sf), num_hashes=_N_MINHASH, band_size=2
     )
-    bands = piv.select(
-        "doc_id",
-        F.md5(F.concat_ws("_", F.col("0"), F.col("1"))).alias("b0"),
-        F.md5(F.concat_ws("_", F.col("2"), F.col("3"))).alias("b1"),
-    )
-    eb = bands.select(
-        "doc_id", F.explode(F.array("b0", "b1")).alias("bucket")
-    )
-    a = eb.alias("a")
-    b = eb.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
     )
 
 
@@ -203,32 +180,9 @@ _SIMHASH_BITS = 16
 def q_simhash(spark, sf):
     """SimHash (16-bit) per document: per-token 60-bit hash, majority vote
     per bit position.  Explode tokens×bits → groupBy — pure shuffle+agg."""
-    d = t(spark, sf, "documents")
-    ex = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    hashed = ex.select("doc_id", _spark_h60(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr(
-            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
-        ).alias("vote"),
-    )
-    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        agg.withColumn(
-            "bitval",
-            F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    from feature_store_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf, "documents"), bits=_SIMHASH_BITS)
 
 
 SQL_SIMHASH = f"""
@@ -248,29 +202,15 @@ FROM agg GROUP BY doc_id
 def q_ngram_jaccard(spark, sf):
     """Exact n-gram (3-shingle) Jaccard for consecutive doc pairs —
     the verification kernel the LSH candidates feed at scale."""
+    from feature_store_spark.operators.dedup import ngram_jaccard
+
     d = t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(0, size({_TOKS}) - 3), "
-                f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))"
-            )
-        ).alias("sh"),
+    pairs = d.select(F.col("doc_id").alias("doc_a"),
+                     (F.col("doc_id") + 1).alias("doc_b")).join(
+        d.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="inner"
     )
-    a = sh.alias("a")
-    b = sh.withColumn("doc_id", F.col("doc_id") - 1).alias("b")
-    pairs = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "inner").select(
-        F.col("a.doc_id").alias("doc_a"),
-        (F.col("a.doc_id") + 1).alias("doc_b"),
-        F.col("a.sh").alias("sa"),
-        F.col("b.sh").alias("sb"),
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    return pairs.select(
-        "doc_a", "doc_b", F.round(inter / union, R).alias("jaccard")
-    )
+    out = ngram_jaccard(pairs, d, id_a="doc_a", id_b="doc_b")
+    return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -302,27 +242,17 @@ def q_cosine_topk(spark, sf):
     (vec_id % 50 == 0).  Scale path: broadcast the query side; each
     executor scans its shard of the corpus once (map-side), then a
     per-query top-k shuffle of only k rows per partition."""
+    from feature_store_spark.operators.similarity import cosine_topk
+
     e = t(spark, sf, "embeddings")
     q = (
         e.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-    cos = (
-        _dot("q_emb", "embedding")
-        / F.sqrt(_dot("q_emb", "q_emb"))
-        / F.sqrt(_dot("embedding", "embedding"))
-    )
-    scored = j.select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"),
-                F.col("rnk").cast("int").alias("rnk"))
-    )
+    out = cosine_topk(e, q, k=5)
+    return out.select("q_id", "neighbor_id",
+                      F.round("cos", 6).alias("cos_sim"),
+                      F.col("rnk").cast("int").alias("rnk"))
 
 
 SQL_COSINE_TOPK = """
@@ -409,43 +339,15 @@ def q_ann_lsh(spark, sf):
     _N_PLANES hyperplanes; top-3 cosine neighbors within the query's
     bucket.  At corpus scale this replaces the O(N) scan per query with a
     bucket-local scan (expected N / 2^planes)."""
-    planes = _plane_weights()
-    e = t(spark, sf, "embeddings")
+    from feature_store_spark.operators.similarity import ann_lsh_topk
 
-    def bucket_expr(emb_col: str):
-        bits = []
-        for p, w in enumerate(planes):
-            arr = "array(" + ",".join(f"{v}D" for v in w) + ")"
-            dot = (f"aggregate(zip_with({emb_col}, {arr}, "
-                   f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
-                   f"(acc, v) -> acc + v)")
-            bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
-        return F.expr("concat(" + ",".join(bits) + ")")
-
-    eb = e.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
-    q = (
-        eb.where(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-                F.col("bucket"))
+    out = ann_lsh_topk(
+        t(spark, sf, "embeddings"), F.col("vec_id") % 50 == 0,
+        n_planes=_N_PLANES, dim=_DIM, k=3,
     )
-    j = eb.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
-    cos = (
-        _dot("q_emb", "embedding")
-        / F.sqrt(_dot("q_emb", "q_emb"))
-        / F.sqrt(_dot("embedding", "embedding"))
-    )
-    from pyspark.sql import Window
-
-    scored = j.select("q_id", F.col("vec_id").alias("neighbor_id"),
-                      cos.alias("cos"), "bucket")
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"),
-                F.col("rnk").cast("int").alias("rnk"), "bucket")
-    )
+    return out.select("q_id", "neighbor_id",
+                      F.round("cos", 6).alias("cos_sim"),
+                      F.col("rnk").cast("int").alias("rnk"), "bucket")
 
 
 def _sql_ann_lsh() -> str:

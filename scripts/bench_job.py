@@ -119,6 +119,10 @@ def main() -> None:
         out["asof_rows_per_sec"] = round(n_obs / dt1, 1)
 
     # ---- phase 2: image feature materialization (decode-heavy) --------
+    if phase not in ("all", "image"):
+        print("BENCHJSON " + json.dumps(out))
+        return
+
     def build_image():
         images = spark.read.parquet(img_path)
         obs_img = spark.read.parquet(imgobs_path)
@@ -145,7 +149,8 @@ def main() -> None:
     out["image_sec"] = round(dt2, 2)
     out["image_rows_per_sec"] = round(n_img_obs_actual / dt2, 1)
 
-    out["total_sec"] = round(dt1 + dt2, 2)
+    if "asof_sec" in out and "image_sec" in out:
+        out["total_sec"] = round(out["asof_sec"] + out["image_sec"], 2)
     print("BENCHJSON " + json.dumps(out))
 
 
