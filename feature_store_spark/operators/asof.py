@@ -74,6 +74,12 @@ def asof_join(
     equal-timestamp feature ties deterministically (larger wins), mirroring
     the reference's dedup-latest tiebreak (``item_feature_preprocessing.py:
     79-91``, ``modifydate desc, filename_date desc``).
+
+    Strategy choice: ``union`` is one shuffle and fastest when no single
+    entity's timeline dwarfs a task (typical daily partitions); ``sliced``
+    bounds the per-task row count by ``slice_duration`` regardless of
+    entity heat — the right default for full-history materialization over
+    skewed entities at 10^9+ rows.  Both are property-tested equal.
     """
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c not in (on, feature_time)]
@@ -161,15 +167,14 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
     shuffle total):
 
     1. Union-tag features (0) and observations (1), keyed by
-       ``(entity, slice = floor(ts / slice_duration))``.
-    2. One window over ``(entity, slice)`` sorted by ``(ts, tag,
-       tiebreaks)`` yields BOTH the running in-slice merge
-       (``last(payload) over (-inf, current)``) and the slice's final
-       feature payload (same window, full-partition frame) — the carry
-       candidate — without a second shuffle.
-    3. Slice-level carry: one row per (entity, slice) → tiny window over
-       entity ordered by slice, frame ``(-inf, -1)`` = latest feature
-       payload of any STRICTLY earlier slice.
+       ``(entity, slice = floor(ts / slice_duration))``, persisted once
+       (payload-projected — bytes are gone by contract).
+    2. In-slice merge: one window over ``(entity, slice)`` sorted by
+       ``(ts, tag, tiebreaks)`` — ``last(payload) over (-inf, current)``.
+    3. Carry candidates: ``max_by`` hash aggregate per (entity, slice)
+       (map-side partial combine — cheaper than a second full sort), then
+       a tiny window over entity ordered by slice, frame ``(-inf, -1)`` =
+       latest feature payload of any STRICTLY earlier slice.
     4. Left-join the carry back on (entity, slice) (broadcast-eligible:
        slice-level cardinality ≪ row count) and
        ``coalesce(in_slice_merge, carry)`` — an in-slice feature always
@@ -200,35 +205,52 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
         F.lit(1).alias(_TAG),
     )
     u = f_tagged.unionByName(o_tagged, allowMissingColumns=True)
-    # The union is consumed twice (in-slice merge + carry candidates);
-    # persist the payload projection so an expensive feature subtree
-    # (decode UDFs, window stack) is computed exactly once.  Binary
-    # payloads are gone by contract, so the cached rows are ~100 bytes.
-    u = u.persist()
 
     order = [F.col(_TS).asc(), F.col(_TAG).asc()] + [
         F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols
     ]
-    w_run = (
-        Window.partitionBy(on, _SLICE)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_base = Window.partitionBy(on, _SLICE).orderBy(*order)
+    # Three window expressions over ONE partitioning+ordering → a single
+    # Exchange and a single sort: the running in-slice merge, the slice's
+    # final feature payload (full-partition frame), and a row number used
+    # to collapse the slice-level carry table without any struct
+    # aggregation (max_by/distinct on structs degrade to SortAggregate
+    # with two more full-data exchanges).
+    merged = (
+        u.withColumn(
+            "__run",
+            F.last(_PAYLOAD, ignorenulls=True).over(
+                w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__slice_last",
+            F.last(_PAYLOAD, ignorenulls=True).over(
+                w_base.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_base))
     )
-    merged = u.withColumn("__run", F.last(_PAYLOAD, ignorenulls=True).over(w_run))
+    # Downstream only ever reads observation rows (the output) and one row
+    # per (entity, slice) (the carry table) — discard feature rows and the
+    # pre-merge payload column BEFORE persisting, so the cache holds
+    # ~|obs| + |slices| narrow rows instead of the full union.  The persist
+    # makes the expensive feature subtree (decode UDFs, window stack) and
+    # the merge sort run exactly once for both consumers.
+    keep = list(obs.columns) + [
+        c for c in (on, _SLICE, _TAG, "__run", "__slice_last", "__rn")
+        if c not in obs.columns
+    ]
+    merged = (
+        merged.where((F.col(_TAG) == 1) | (F.col("__rn") == 1))
+        .select(*keep)
+        .persist()
+    )
 
-    # (3) slice-level carry table: the latest feature payload per
-    # (entity, slice) via max_by — a hash aggregate with map-side partial
-    # combine (no second full sort).  Slices that only hold observations
-    # must appear too (with a null payload) so the strict-predecessor
-    # window below can serve them; max() collapses the duplicates.
-    slice_level = (
-        u.groupBy(on, _SLICE)
-        .agg(F.expr(
-            "max_by(CASE WHEN " + _TAG + " = 0 THEN " + _PAYLOAD + " END, "
-            "CASE WHEN " + _TAG + " = 0 THEN struct(" + ", ".join(
-                [_TS] + [f"__tb_{c}" for c in tiebreak_cols]
-            ) + ") END)"
-        ).alias("__slice_last"))
+    slice_level = merged.where(F.col("__rn") == 1).select(
+        on, _SLICE, "__slice_last"
     )
     w_carry = (
         Window.partitionBy(on)

@@ -22,7 +22,7 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Binary image payloads are wide rows: keep input splits moderate.
-    "spark.sql.files.maxPartitionBytes": "64m",
+    "spark.sql.files.maxPartitionBytes": "8m",
     # Broadcast small dims aggressively (reference uses 10m).
     "spark.sql.autoBroadcastJoinThreshold": "32m",
     # Deterministic session timezone so date functions match the oracle.

@@ -40,11 +40,11 @@ def main() -> None:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # binary image rows are cheap to store but expensive to decode:
         # size input splits for CPU parallelism, not byte volume
-        "spark.sql.files.maxPartitionBytes": "2m",
+        "spark.sql.files.maxPartitionBytes": "8m",
     }.items():
         spark.conf.set(k, v)
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores * 4, 32)))
+    spark.conf.set("spark.sql.shuffle.partitions", "64")  # identical plan at both cluster sizes
 
     from feature_store_spark.functions.images import with_image_features
     from feature_store_spark.operators.asof import asof_join

@@ -12,14 +12,14 @@ mkdir -p "$ROOT" BENCH
 
 run() { # cores phase
   spark-submit --master "local[$1]" --py-files /tmp/engine.zip \
-    --conf spark.ui.enabled=false --driver-memory 48g \
+    --conf spark.ui.enabled=false --driver-memory 8g \
     scripts/bench_job.py "$ROOT" $NF $NO $NI $NIO "$2" 3 2>/dev/null \
     | grep BENCHJSON | sed 's/^BENCHJSON //'
 }
 
 echo "== generating cache (one-time, local[32]) =="
 spark-submit --master 'local[32]' --py-files /tmp/engine.zip \
-  --conf spark.ui.enabled=false --driver-memory 48g \
+  --conf spark.ui.enabled=false --driver-memory 8g \
   scripts/bench_job.py "$ROOT" $NF $NO $NI $NIO none 1 >/dev/null 2>&1 || true
 
 for phase in asof image; do
