@@ -104,8 +104,12 @@ def main() -> None:
     times: dict[str, float] = {}
 
     img_path, obs_path = ensure_image_bench_data()
-    # warm the JVM/Arrow path once with a trivial action
-    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10).count()
+    # warm the JVM (codegen, window exec, Arrow workers) at tiny scale so
+    # the first timed query doesn't absorb one-time JIT cost
+    warm_fn, _ = REGISTRY["asof_join"]
+    warm_fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite").save()
+    spark.catalog.clearCache()
 
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
