@@ -26,6 +26,10 @@ R = 4  # rounding digits for aggregated doubles (both dialects)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns this session; pin the timezone so NTZ→timestamp casts
+    # (epoch math in rolling/sessionize/as-of) are DST-free and match the
+    # DuckDB oracle regardless of the host default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
