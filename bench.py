@@ -99,8 +99,13 @@ def main() -> None:
     from feature_store_spark.registry import REGISTRY
     from feature_store_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS) * 2)
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS) * 2,
+        # the 30k-image bench parquet is ~40MB; split ~1MB so decode
+        # parallelism matches the core count (split sizing = rows/byte x
+        # per-row CPU, not byte volume)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
+    )
     times: dict[str, float] = {}
 
     img_path, obs_path = ensure_image_bench_data()
