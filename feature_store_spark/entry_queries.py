@@ -683,3 +683,55 @@ SELECT p_partkey,
     AS name_folded
 FROM part
 """
+
+
+def q_exact_quantiles(spark, sf):  # applyInPandas custom grouped op
+    from feature_store_spark.operators.grouped import exact_quantiles
+
+    e = t(spark, sf, "events").select("user_id", "value")
+    out = exact_quantiles(e, "user_id", "value", quantiles=(0.5, 0.9))
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n"),
+        F.round("q50", R).alias("q50"),
+        F.round("q90", R).alias("q90"),
+    )
+
+
+SQL_EXACT_QUANTILES = f"""
+SELECT user_id, COUNT(*) AS n,
+  ROUND(quantile_cont(value, 0.5), {R}) AS q50,
+  ROUND(quantile_cont(value, 0.9), {R}) AS q90
+FROM events GROUP BY user_id
+"""
+
+
+def q_image_pipeline(spark, sf):  # engine-only (rows check): full flagship
+    """Deterministic in-Spark image gen → decode → rolling+session →
+    sliced as-of.  Non-SQL-expressible (binary codec) → no oracle; the
+    pandas-oracle parity lives in tests/test_pipeline_e2e.py."""
+    from feature_store_spark.functions.images import with_image_features
+    from feature_store_spark.operators.windows import sessionize, with_rolling
+    from feature_store_spark.pipeline.datagen_spark import (
+        synth_images,
+        synth_observations,
+    )
+
+    n = 2000 if "0.001" not in sf else 500
+    images = synth_images(spark, n, n_entities=max(n // 40, 5))
+    obs = synth_observations(
+        spark, n, n_entities=max(n // 40, 5), prefix="img_"
+    ).withColumnRenamed("entity_id", "image_id")
+    feats = with_image_features(images)
+    feats = with_rolling(feats, "image_id", "event_time",
+                         {"roll_cnt": F.count(F.lit(1))}, window="1d")
+    feats = sessionize(feats, "image_id", "event_time", gap="30m",
+                       tiebreak=["phash"])
+    out = asof_join(
+        obs, feats,
+        feature_cols=["phash", "mean_r", "std_r", "roll_cnt", "session_id"],
+        tiebreak_cols=["phash"], strategy="sliced", slice_duration="1d",
+    )
+    return out.select("image_id", "obs_id", "obs_time", "feature_ts",
+                      "phash", F.round("mean_r", R).alias("mean_r"),
+                      "roll_cnt", "session_id")

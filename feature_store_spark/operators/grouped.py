@@ -1,0 +1,78 @@
+"""Grouped custom operators via ``applyInPandas`` — the escape hatch for
+semantics built-in operators can't express (SURVEY.md §7.3 "custom
+pandas/Arrow UDFs").
+
+Use ONLY when window/agg built-ins genuinely can't express the op: each
+group is materialized as one pandas DataFrame on an executor, so the
+entity with the most rows bounds memory — pair with time-slicing (as the
+as-of join does) when entities are hot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Thin, typed wrapper over ``groupBy(keys).applyInPandas`` keeping the
+    engine's convention: deterministic input order inside the group is the
+    CALLBACK's job (sort in ``fn``), since Spark hands groups unsorted."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def zscore_normalize(
+    df: DataFrame,
+    entity: str,
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-entity z-score — a reference example of a grouped custom op.
+    (This particular op IS window-expressible; it exists as the documented
+    template for ops that aren't, e.g. per-entity exact quantiles or
+    iterative state machines.)"""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=0)
+        mean = pdf[value_col].mean()
+        pdf = pdf.copy()
+        pdf[out_col] = 0.0 if (std == 0 or pd.isna(std)) else (
+            (pdf[value_col] - mean) / std
+        )
+        return pdf
+
+    return grouped_apply(df, [entity], _norm, out_schema)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    entity: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-entity EXACT quantiles — genuinely not window-expressible
+    (approx_percentile is the built-in alternative; exact needs the whole
+    group).  One output row per entity."""
+    qcols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    schema = f"{entity} string, n long, {qcols}"
+
+    def _q(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {entity: pdf[entity].iloc[0], "n": len(pdf)}
+        for q in quantiles:
+            row[f"q{int(q * 100)}"] = float(pdf[value_col].quantile(q))
+        return pd.DataFrame([row])
+
+    return grouped_apply(
+        df.withColumn(entity, F.col(entity).cast("string")), [entity], _q, schema
+    )

@@ -63,6 +63,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cosine_topk": (tq.q_cosine_topk, tq.SQL_COSINE_TOPK),
     "embedding_near_dup": (tq.q_embedding_near_dup, tq.SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
+    # custom grouped op (applyInPandas) + the flagship image pipeline
+    "exact_quantiles": (eq.q_exact_quantiles, eq.SQL_EXACT_QUANTILES),
+    "image_pipeline": (eq.q_image_pipeline, None),  # binary codec: rows-only
 }
 
 
