@@ -4,13 +4,16 @@ fallback).
 The reference tracks incremental state by diffing hive partition directories
 (``featurestore/base/feature_preprocessing.py:290-312``) and re-lays folders
 after writes (``materialize_pipeline.py:178-201``).  Here every committed
-write records a deterministic *snapshot* (content-addressed manifest entry),
-so incremental processing, checkpoint/resume, and lineage all key off
-snapshot ids instead of directory listings — the Iceberg model (SURVEY.md
-§1.4) without requiring the Iceberg runtime jar (unavailable in-sandbox; the
-IO seam is this one module, so swapping in ``df.writeTo(...)`` is local).
+write records a *snapshot*: an immutable mapping ``partition → [versioned
+data dirs]``.  Data files are never mutated or deleted by commits — each
+write lands in a fresh ``data/v{seq}`` directory — so any historical
+snapshot remains readable (time travel), incremental processing and
+checkpoint/resume key off snapshot ids, and commit cost is proportional to
+the rows written, not the table size.  This is the Iceberg model (SURVEY.md
+§1.4) without the runtime jar (unavailable in-sandbox); the IO seam is this
+one module, so swapping in ``df.writeTo(...)`` is local.
 
-Layout:  <root>/<table>/<partition_col>=<value>/*.parquet
+Layout:  <root>/<table>/data/v{seq}/<partition_col>=<value>/*.parquet
          <root>/<table>/_manifest.json   (ordered snapshot log)
 """
 
@@ -20,6 +23,7 @@ import hashlib
 import json
 import os
 from dataclasses import dataclass
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -30,15 +34,14 @@ class Snapshot:
     snapshot_id: str
     partitions: dict[str, int]  # partition value -> row count
     op: str
+    mapping: dict[str, list[str]]  # partition value -> version dirs
 
 
 class PartitionedTable:
-    """One partitioned parquet table + manifest."""
+    """One partitioned parquet table + snapshot manifest."""
 
     def __init__(self, root: str, name: str, partition_col: str):
         self.path = os.path.join(root, name)
-        # data lives under data/ so a full-table overwrite (which removes
-        # the data directory) cannot wipe the snapshot log
         self.data_path = os.path.join(self.path, "data")
         self.partition_col = partition_col
         self._manifest_path = os.path.join(self.path, "_manifest.json")
@@ -59,72 +62,112 @@ class PartitionedTable:
             json.dump(log, f, indent=1)
         os.replace(tmp, self._manifest_path)
 
+    def _entry_to_snapshot(self, e: dict) -> Snapshot:
+        return Snapshot(e["snapshot_id"], e["partitions"], e["op"], e["mapping"])
+
     def current_snapshot(self) -> Snapshot | None:
         log = self._read_manifest()
-        if not log:
-            return None
-        e = log[-1]
-        return Snapshot(e["snapshot_id"], e["partitions"], e["op"])
+        return self._entry_to_snapshot(log[-1]) if log else None
 
-    def partitions(self) -> list[str]:
-        snap = self.current_snapshot()
+    def snapshot(self, snapshot_id: str) -> Snapshot:
+        for e in self._read_manifest():
+            if e["snapshot_id"] == snapshot_id:
+                return self._entry_to_snapshot(e)
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
+    def partitions(self, snapshot_id: str | None = None) -> list[str]:
+        snap = (
+            self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        )
         return sorted(snap.partitions) if snap else []
 
     # -- IO ------------------------------------------------------------
-    def read(self, spark: SparkSession, partitions: list[str] | None = None) -> DataFrame:
-        df = spark.read.parquet(self.data_path)
-        if partitions is not None:
-            df = df.where(F.col(self.partition_col).isin(partitions))
-        return df
+    def read(
+        self,
+        spark: SparkSession,
+        partitions: list[str] | None = None,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot (default: current), optionally
+        restricted to partitions — file-level pruning off the manifest,
+        no directory listing."""
+        snap = (
+            self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        )
+        if snap is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshot")
+        wanted = sorted(snap.mapping) if partitions is None else [
+            p for p in sorted(snap.mapping) if p in set(partitions)
+        ]
+        parts = []
+        for p in wanted:
+            dirs = [
+                os.path.join(d, f"{self.partition_col}={p}")
+                for d in snap.mapping[p]
+            ]
+            dirs = [d for d in dirs if os.path.exists(d)]
+            if not dirs:
+                continue
+            parts.append(
+                spark.read.parquet(*dirs).withColumn(
+                    self.partition_col, F.lit(p)
+                )
+            )
+        if not parts:
+            raise FileNotFoundError(
+                f"no data for partitions={partitions} in {self.path}"
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def write(self, df: DataFrame, mode: str = "overwrite_partitions") -> Snapshot:
-        """Write partitioned data.  ``overwrite_partitions`` replaces only
-        the partitions present in ``df`` (idempotent re-runs — the backfill
-        contract); ``append`` adds files; ``overwrite`` replaces the table.
+        """Commit a write as a new snapshot.  ``overwrite_partitions``
+        replaces only the partitions present in ``df`` (idempotent re-runs —
+        the backfill contract); ``append`` adds files to them; ``overwrite``
+        replaces the whole table.  Existing snapshot data is never touched.
         """
-        writer = df.write.partitionBy(self.partition_col)
-        if mode == "overwrite_partitions":
-            spark = df.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                writer.mode("overwrite").parquet(self.data_path)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        elif mode == "append":
-            writer.mode("append").parquet(self.data_path)
-        elif mode == "overwrite":
-            writer.mode("overwrite").parquet(self.data_path)
-        else:
+        if mode not in ("overwrite_partitions", "append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
-        return self._commit(mode)
-
-    def _commit(self, op: str) -> Snapshot:
-        """Record a deterministic snapshot: content hash over the partition
-        → row-count map (no wall clock, reproducible across reruns)."""
-        spark = SparkSession.getActiveSession()
-        counts = (
-            spark.read.parquet(self.data_path)
-            .groupBy(self.partition_col)
-            .count()
-            .collect()
-        )
-        parts = {str(r[0]): int(r[1]) for r in counts}
-        digest = hashlib.sha256(
-            json.dumps(parts, sort_keys=True).encode()
-        ).hexdigest()[:16]
-        prev = self.current_snapshot()
         seq = len(self._read_manifest())
+        vdir = os.path.join(self.data_path, f"v{seq:04d}")
+        df.write.partitionBy(self.partition_col).mode("overwrite").parquet(vdir)
+
+        # count ONLY the new version dir (commit cost ∝ rows written)
+        spark = df.sparkSession
+        written = spark.read.option("basePath", vdir).parquet(vdir)
+        new_counts = {
+            str(r[0]): int(r[1])
+            for r in written.groupBy(self.partition_col).count().collect()
+        }
+
+        prev = self.current_snapshot()
+        if mode == "overwrite" or prev is None:
+            mapping = {p: [vdir] for p in new_counts}
+            counts = dict(new_counts)
+        else:
+            mapping = {p: list(dirs) for p, dirs in prev.mapping.items()}
+            counts = dict(prev.partitions)
+            for p, n in new_counts.items():
+                if mode == "append" and p in mapping:
+                    mapping[p] = mapping[p] + [vdir]
+                    counts[p] = counts.get(p, 0) + n
+                else:  # overwrite_partitions, or a brand-new partition
+                    mapping[p] = [vdir]
+                    counts[p] = n
+
+        digest = hashlib.sha256(
+            json.dumps(counts, sort_keys=True).encode()
+        ).hexdigest()[:16]
         snap_id = f"snap-{seq:04d}-{digest}"
         self._append_manifest(
             {
                 "snapshot_id": snap_id,
                 "parent": prev.snapshot_id if prev else None,
-                "op": op,
-                "partitions": parts,
+                "op": mode,
+                "partitions": counts,
+                "mapping": mapping,
             }
         )
-        return Snapshot(snap_id, parts, op)
+        return Snapshot(snap_id, counts, mode, mapping)
 
     # -- incremental bookkeeping (reference X1 semantics) ---------------
     def new_partitions_vs(self, processed: list[str]) -> list[str]:

@@ -140,16 +140,32 @@ def materialize(
     processed = []
     for part in todo:
         obs = obs_table.read(spark, partitions=[part])
-        # history pruning: only feature events visible at this partition's
-        # horizon participate; with a lookback the lower bound prunes too.
-        part_end = F.to_timestamp(F.lit(part)) + F.expr("INTERVAL 1 DAY")
-        images = images_table.read(spark).where(F.col("event_time") < part_end)
+        # history pruning, twice: (1) manifest-level partition pruning —
+        # only image partitions at or before this horizon are even opened
+        # (file-level skip, the Iceberg partition-pruning equivalent);
+        # (2) a row-level event_time predicate for exactness.
+        visible = [p for p in images_table.partitions() if p <= part]
         if lookback is not None:
             lb_days = duration_to_us(lookback) // 86_400_000_000 + 2
-            part_start = F.to_timestamp(F.lit(part)) - F.expr(
-                f"INTERVAL {lb_days} DAYS"
+            lo = (
+                F.to_timestamp(F.lit(part)) - F.expr(f"INTERVAL {lb_days} DAYS")
             )
-            images = images.where(F.col("event_time") >= part_start)
+            import datetime as _dt
+
+            lo_str = (
+                _dt.datetime.strptime(part, "%Y-%m-%d")
+                - _dt.timedelta(days=lb_days)
+            ).strftime("%Y-%m-%d")
+            visible = [p for p in visible if p >= lo_str]
+        part_end = F.to_timestamp(F.lit(part)) + F.expr("INTERVAL 1 DAY")
+        if not visible:
+            images = images_table.read(spark).where(F.lit(False))
+        else:
+            images = images_table.read(spark, partitions=visible).where(
+                F.col("event_time") < part_end
+            )
+        if lookback is not None:
+            images = images.where(F.col("event_time") >= lo)
 
         feats = compute_features(images)
         result = asof_join(

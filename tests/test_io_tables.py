@@ -50,3 +50,25 @@ def test_snapshot_manifest(spark, df, tmp_path):
     assert t.new_partitions_vs(["a"]) == ["b", "c"]
     # partition-pruned read
     assert t.read(spark, partitions=["a"]).count() == 2
+
+
+def test_time_travel_and_append(spark, df, tmp_path):
+    t = PartitionedTable(str(tmp_path), "tt", "grp")
+    s1 = t.write(df, mode="overwrite")
+    # overwrite partition "a" with different rows
+    import pandas as pd
+    patch = spark.createDataFrame(
+        pd.DataFrame({"k": [99], "grp": ["a"], "v": [999.0]})
+    )
+    s2 = t.write(patch, mode="overwrite_partitions")
+    # current: partition a has the patched single row; b/c untouched
+    cur = t.read(spark).toPandas()
+    assert len(cur) == 4 and cur[cur.grp == "a"]["v"].tolist() == [999.0]
+    # time travel: the first snapshot still reads the original data
+    old = t.read(spark, snapshot_id=s1.snapshot_id).toPandas()
+    assert len(old) == 5 and sorted(old[old.grp == "a"]["v"]) == [10.0, 20.0]
+    # append adds to a partition without touching its history
+    s3 = t.write(patch, mode="append")
+    assert t.read(spark, partitions=["a"]).count() == 2
+    assert t.read(spark, partitions=["a"], snapshot_id=s2.snapshot_id).count() == 1
+    assert s3.partitions["a"] == 2
