@@ -145,16 +145,22 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
-def image_features_udf(data: pd.Series) -> pd.DataFrame:
-    """bytes → (phash, w, h, per-channel mean/std). One Arrow batch per call."""
+def _features_batch(data: pd.Series, tolerant: bool) -> pd.DataFrame:
     out = {name: [] for name in IMAGE_FEATURES_SCHEMA.fieldNames()}
     for buf in data:
-        if buf is None:
+        px = None
+        if buf is not None:
+            if tolerant:
+                try:
+                    px = decode_image(bytes(buf))
+                except Exception:
+                    px = None  # corrupt payload → null features, keep the row
+            else:
+                px = decode_image(bytes(buf))
+        if px is None:
             for v in out.values():
                 v.append(None)
             continue
-        px = decode_image(bytes(buf))
         stats = decode_stats(px)
         out["phash"].append(phash64(px))
         out["dec_h"].append(px.shape[0])
@@ -166,6 +172,22 @@ def image_features_udf(data: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
+def image_features_udf(data: pd.Series) -> pd.DataFrame:
+    """bytes → (phash, w, h, per-channel mean/std). One Arrow batch per call.
+    Strict: corrupt payloads abort the job (loud by default)."""
+    return _features_batch(data, tolerant=False)
+
+
+@F.pandas_udf(IMAGE_FEATURES_SCHEMA)
+def image_features_tolerant_udf(data: pd.Series) -> pd.DataFrame:
+    """Like :func:`image_features_udf` but corrupt payloads yield null
+    features instead of failing the task — the right default for web-scale
+    corpora where a few broken blobs must not kill a 10^12-row job; count
+    the nulls downstream for data-quality lineage."""
+    return _features_batch(data, tolerant=True)
+
+
 @F.pandas_udf(T.LongType())
 def phash_udf(data: pd.Series) -> pd.Series:
     """bytes → 64-bit perceptual hash."""
@@ -175,8 +197,13 @@ def phash_udf(data: pd.Series) -> pd.Series:
     )
 
 
-def with_image_features(df, bytes_col: str = "bytes", out_col: str = "img"):
+def with_image_features(df, bytes_col: str = "bytes", out_col: str = "img",
+                        on_error: str = "fail"):
     """Attach the decoded feature struct and DROP the binary payload.
+
+    ``on_error``: "fail" (default — corrupt bytes abort loudly) or "null"
+    (corrupt bytes yield null features; rows are preserved so the
+    row-preservation lineage invariant still holds).
 
     Decoded fields REPLACE same-named input columns (e.g. the stored
     ``phash`` is re-derived from bytes).  Projecting bytes away before any
@@ -184,9 +211,12 @@ def with_image_features(df, bytes_col: str = "bytes", out_col: str = "img"):
     table: joins and windows downstream move ~72 bytes of numeric features
     per row, not megabyte blobs.
     """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
+    udf = image_features_udf if on_error == "fail" else image_features_tolerant_udf
     struct_fields = set(IMAGE_FEATURES_SCHEMA.fieldNames())
     keep = [c for c in df.columns if c != bytes_col and c not in struct_fields]
     return (
-        df.withColumn(out_col, image_features_udf(F.col(bytes_col)))
+        df.withColumn(out_col, udf(F.col(bytes_col)))
         .select(*keep, f"{out_col}.*")
     )

@@ -73,3 +73,28 @@ def test_spark_decode_matches_oracle(spark):
     # decoded dims equal declared dims
     assert (got["dec_w"].to_numpy() == got["w"].to_numpy()).all()
     assert (got["dec_h"].to_numpy() == got["h"].to_numpy()).all()
+
+
+def test_tolerant_decode_nulls_corrupt_rows(spark):
+    """on_error='null': corrupt payloads become null features, rows kept."""
+    import pandas as pd
+
+    good = generate_images(n_rows=5, n_entities=2, seed=9)
+    rows = pd.DataFrame(
+        {
+            "image_id": list(good["image_id"]) + ["bad"],
+            "bytes": list(good["bytes"]) + [b"garbage-not-an-image"],
+            "event_time": list(good["event_time"]) + [good["event_time"].iloc[0]],
+        }
+    )
+    out = with_image_features(
+        spark.createDataFrame(rows), on_error="null"
+    ).toPandas()
+    assert len(out) == 6  # row preservation
+    bad = out[out.image_id == "bad"].iloc[0]
+    assert pd.isna(bad["phash"]) and pd.isna(bad["mean_r"])
+    ok = out[out.image_id != "bad"]
+    assert ok["phash"].notna().all()
+    # strict mode still fails loudly
+    with pytest.raises(Exception):
+        with_image_features(spark.createDataFrame(rows)).collect()
