@@ -22,8 +22,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import dataclass
-from functools import reduce
+import re
+from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +35,8 @@ class Snapshot:
     partitions: dict[str, int]  # partition value -> row count
     op: str
     mapping: dict[str, list[str]]  # partition value -> version dirs
+    meta: dict = field(default_factory=dict)  # caller metadata for this commit
+    touched: list[str] = field(default_factory=list)  # partitions this commit wrote
 
 
 class PartitionedTable:
@@ -63,7 +65,10 @@ class PartitionedTable:
         os.replace(tmp, self._manifest_path)
 
     def _entry_to_snapshot(self, e: dict) -> Snapshot:
-        return Snapshot(e["snapshot_id"], e["partitions"], e["op"], e["mapping"])
+        return Snapshot(
+            e["snapshot_id"], e["partitions"], e["op"], e["mapping"],
+            e.get("meta", {}), e.get("touched", []),
+        )
 
     def current_snapshot(self) -> Snapshot | None:
         log = self._read_manifest()
@@ -81,16 +86,43 @@ class PartitionedTable:
         )
         return sorted(snap.partitions) if snap else []
 
+    def partition_info(self) -> dict[str, dict]:
+        """Latest write metadata per partition: partition value → the
+        ``meta`` dict of the most recent commit that (re)wrote it.  The
+        incremental feature pipeline keys its cache-validity checks on this
+        (content-addressed by input dirs), mirroring the reference's
+        raw-vs-saved date diff (``feature_preprocessing.py:290-312``)."""
+        info: dict[str, dict] = {}
+        for e in self._read_manifest():
+            for p in e.get("touched", []):
+                info[p] = e.get("meta", {})
+        return info
+
     # -- IO ------------------------------------------------------------
     def read(
         self,
         spark: SparkSession,
         partitions: list[str] | None = None,
         snapshot_id: str | None = None,
+        merge_schema: bool = True,
     ) -> DataFrame:
         """Read the table at a snapshot (default: current), optionally
-        restricted to partitions — file-level pruning off the manifest,
-        no directory listing."""
+        restricted to partitions.
+
+        Scale shape: ONE parquet scan over all manifest-selected leaf dirs
+        (O(1) plan nodes at any partition count — a 1,000-partition daily
+        table is one relation, not a 1,000-leaf union), with the partition
+        value derived from the file path.  File-level pruning comes from
+        the manifest (only wanted dirs are listed), no directory walking.
+
+        ``merge_schema=True`` unifies schemas across version dirs (columns
+        added by later snapshots read as NULL in older files) — the
+        reference's ``mergeSchema=true`` daily-feed contract
+        (``featurestore/base/utils/fileops.py:97-103``).
+
+        A manifest-listed dir missing on disk raises (silently skipping
+        would under-read committed data).
+        """
         snap = (
             self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         )
@@ -99,31 +131,50 @@ class PartitionedTable:
         wanted = sorted(snap.mapping) if partitions is None else [
             p for p in sorted(snap.mapping) if p in set(partitions)
         ]
-        parts = []
+        leaf_dirs, missing = [], []
         for p in wanted:
-            dirs = [
-                os.path.join(d, f"{self.partition_col}={p}")
-                for d in snap.mapping[p]
-            ]
-            dirs = [d for d in dirs if os.path.exists(d)]
-            if not dirs:
-                continue
-            parts.append(
-                spark.read.parquet(*dirs).withColumn(
-                    self.partition_col, F.lit(p)
-                )
+            for d in snap.mapping[p]:
+                leaf = os.path.join(d, f"{self.partition_col}={p}")
+                (leaf_dirs if os.path.exists(leaf) else missing).append(leaf)
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: {len(missing)} manifest-listed dirs missing on "
+                f"disk (data corruption or external delete), e.g. {missing[0]}"
             )
-        if not parts:
+        if not leaf_dirs:
             raise FileNotFoundError(
                 f"no data for partitions={partitions} in {self.path}"
             )
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*leaf_dirs)
+        # partition value from the file path (exact string — no partition
+        # type inference): greedy .* anchors on the LAST `col=value` path
+        # component; hive %-escapes decoded only when present.
+        pat = f".*/{re.escape(self.partition_col)}=([^/]+)/"
+        raw = F.regexp_extract(F.col("_metadata.file_path"), pat, 1)
+        val = F.when(raw.contains("%"), F.url_decode(raw)).otherwise(raw)
+        return df.withColumn(self.partition_col, val)
 
-    def write(self, df: DataFrame, mode: str = "overwrite_partitions") -> Snapshot:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite_partitions",
+        meta: dict | None = None,
+    ) -> Snapshot:
         """Commit a write as a new snapshot.  ``overwrite_partitions``
         replaces only the partitions present in ``df`` (idempotent re-runs —
         the backfill contract); ``append`` adds files to them; ``overwrite``
         replaces the whole table.  Existing snapshot data is never touched.
+        ``meta`` is recorded verbatim in the manifest entry (stream batch
+        ids, input lineage, ...).
+
+        Rows with a NULL partition value reject the whole commit (they land
+        in an on-disk ``__HIVE_DEFAULT_PARTITION__`` dir that a manifest
+        keyed by value could never read back); the manifest is not appended,
+        so the snapshot log stays consistent and the orphaned version dir is
+        never referenced.
         """
         if mode not in ("overwrite_partitions", "append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -134,10 +185,14 @@ class PartitionedTable:
         # count ONLY the new version dir (commit cost ∝ rows written)
         spark = df.sparkSession
         written = spark.read.option("basePath", vdir).parquet(vdir)
-        new_counts = {
-            str(r[0]): int(r[1])
-            for r in written.groupBy(self.partition_col).count().collect()
-        }
+        counted = written.groupBy(self.partition_col).count().collect()
+        if any(r[0] is None for r in counted):
+            raise ValueError(
+                f"{self.path}: NULL values in partition column "
+                f"{self.partition_col!r} — commit rejected (filter or fill "
+                "nulls before writing)"
+            )
+        new_counts = {str(r[0]): int(r[1]) for r in counted}
 
         prev = self.current_snapshot()
         if mode == "overwrite" or prev is None:
@@ -158,6 +213,7 @@ class PartitionedTable:
             json.dumps(counts, sort_keys=True).encode()
         ).hexdigest()[:16]
         snap_id = f"snap-{seq:04d}-{digest}"
+        touched = sorted(new_counts)
         self._append_manifest(
             {
                 "snapshot_id": snap_id,
@@ -165,9 +221,11 @@ class PartitionedTable:
                 "op": mode,
                 "partitions": counts,
                 "mapping": mapping,
+                "meta": meta or {},
+                "touched": touched,
             }
         )
-        return Snapshot(snap_id, counts, mode, mapping)
+        return Snapshot(snap_id, counts, mode, mapping, meta or {}, touched)
 
     # -- incremental bookkeeping (reference X1 semantics) ---------------
     def new_partitions_vs(self, processed: list[str]) -> list[str]:

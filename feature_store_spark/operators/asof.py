@@ -43,6 +43,26 @@ _SLICE = "__asof_slice"
 _DURATION_RE = re.compile(r"^(\d+)\s*(s|m|h|d)$")
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
 
+# Persisted intermediates created by the sliced strategy, released via
+# release_sliced_caches().  Without this, a driver loop calling asof_join
+# once per partition (materialize) accumulates cached RDDs unbounded in a
+# shared session (round-1 ADVICE finding).
+_SLICED_CACHES: list[DataFrame] = []
+
+
+def release_sliced_caches() -> int:
+    """Unpersist every cached intermediate the sliced strategy has created
+    since the last release.  Call after the join output is materialized
+    (written/collected); returns the number of caches released."""
+    n = len(_SLICED_CACHES)
+    for df in _SLICED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SLICED_CACHES.clear()
+    return n
+
 
 def duration_to_us(d: str | int | float) -> int:
     """'7d' / '30m' / seconds → microseconds."""
@@ -248,6 +268,7 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
         .select(*keep)
         .persist()
     )
+    _SLICED_CACHES.append(merged)
 
     slice_level = merged.where(F.col("__rn") == 1).select(
         on, _SLICE, "__slice_last"

@@ -10,8 +10,11 @@ micro-batch to a ``PartitionedTable`` (snapshot per batch) via
 unchanged downstream.
 
 Run with ``trigger="availableNow"`` for catch-up/batch-like drains (used by
-tests) or a processing-time trigger for continuous tailing; the stream's own
-checkpoint makes ingestion exactly-once into the table.
+tests) or a processing-time trigger for continuous tailing.  Exactly-once
+into the table is end-to-end: Spark's checkpoint makes batch delivery
+at-least-once, and the sink records ``(checkpoint, batch_id)`` in the
+snapshot manifest so a replayed micro-batch (failure between sink commit
+and checkpoint advance) is skipped instead of appended twice.
 """
 
 from __future__ import annotations
@@ -26,6 +29,36 @@ IMAGES_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, event_time timestamp"
 )
+
+
+def committed_batch_ids(table: PartitionedTable, checkpoint_dir: str) -> set[int]:
+    """Batch ids already committed to ``table`` by the stream anchored at
+    ``checkpoint_dir`` (from snapshot-manifest metadata)."""
+    out = set()
+    for e in table._read_manifest():
+        m = e.get("meta", {})
+        if m.get("stream_checkpoint") == checkpoint_dir and "stream_batch_id" in m:
+            out.add(int(m["stream_batch_id"]))
+    return out
+
+
+def make_batch_committer(table: PartitionedTable, checkpoint_dir: str):
+    """foreachBatch sink: append the micro-batch as one snapshot, skipping
+    batch ids already in the manifest (idempotent under replay)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in committed_batch_ids(table, checkpoint_dir):
+            return  # replayed micro-batch — already committed
+        table.write(
+            batch_df,
+            mode="append",
+            meta={"stream_checkpoint": checkpoint_dir,
+                  "stream_batch_id": int(batch_id)},
+        )
+
+    return commit_batch
 
 
 def stream_images_to_table(
@@ -55,13 +88,8 @@ def stream_images_to_table(
         )
     )
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.write(batch_df, mode="append")
-
     writer = (
-        stream.writeStream.foreachBatch(commit_batch)
+        stream.writeStream.foreachBatch(make_batch_committer(table, checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -46,3 +46,31 @@ def test_stream_ingest_incremental_and_dedup(spark, tmp_path):
     assert set(table.partitions()) == set(
         img["event_time"].dt.strftime("%Y-%m-%d").unique()
     )
+
+
+def test_replayed_batch_commits_once(spark, tmp_path):
+    """A micro-batch re-delivered with the same batch_id (failure between
+    sink commit and checkpoint advance) must not append a second snapshot."""
+    from feature_store_spark.streaming.ingest import (
+        committed_batch_ids,
+        make_batch_committer,
+    )
+
+    img = generate_images(n_rows=30, n_entities=5, seed=22)
+    img["event_date"] = img["event_time"].dt.strftime("%Y-%m-%d")
+    df = spark.createDataFrame(img)
+    table = PartitionedTable(str(tmp_path / "tables"), "replay", "event_date")
+    ckpt = str(tmp_path / "ckpt")
+
+    commit = make_batch_committer(table, ckpt)
+    commit(df, 7)
+    n1 = table.read(spark).count()
+    snaps1 = len(table._read_manifest())
+    commit(df, 7)  # replay: same batch id → skipped
+    assert table.read(spark).count() == n1 == 30
+    assert len(table._read_manifest()) == snaps1
+    assert committed_batch_ids(table, ckpt) == {7}
+    # a different checkpoint is a different stream → not deduped against
+    assert committed_batch_ids(table, ckpt + "_other") == set()
+    commit(df, 8)  # new batch id commits normally
+    assert table.read(spark).count() == 60
