@@ -3,18 +3,27 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "feature_rows_per_sec": ...}
+   "queries": {name: sec, ...}, "sf": ..., "feature_rows_per_sec": ...,
+   "feature_rows_per_sec_cold": ..., "skew_asof": {...},
+   "deltas_vs_prev": {...}}
 
 Each query is forced to full materialization via the noop sink (count()
 alone can let Catalyst prune the computed columns).  The image-feature
 materialization benchmark (decode → windows → as-of, the north-rule
-pipeline) runs over a cached deterministic dataset in BENCH/data/.
+pipeline) runs over a cached deterministic dataset in BENCH/data/;
+``feature_rows_per_sec`` is the steady-state figure (warm pass, then
+min-of-2 measured passes — round-1 reported the cold number and
+understated throughput).  The skewed-as-of section times union vs sliced
+with one entity owning 50% of all rows — measured evidence for the sliced
+strategy's reason to exist.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -22,12 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "data")
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(REPO, "BENCH", "data")
 
 # headline operator queries from the registry (run at SF_DIR)
 HEADLINE = [
     "asof_join",
     "asof_lookback",
+    "pit_window_agg",
     "rolling",
     "sessionize",
     "lag_lead",
@@ -43,6 +54,9 @@ HEADLINE = [
 N_BENCH_IMAGES = 30_000
 N_BENCH_ENTITIES = 300
 N_BENCH_OBS = 30_000
+N_SKEW_EVENTS = 2_000_000
+N_SKEW_OBS = 200_000
+N_SKEW_ENTITIES = 5_000
 
 
 def ensure_image_bench_data() -> tuple[str, str]:
@@ -64,8 +78,33 @@ def ensure_image_bench_data() -> tuple[str, str]:
     return img_path, obs_path
 
 
-def bench_image_pipeline(spark, img_path: str, obs_path: str) -> tuple[float, int]:
-    """The flagship materialization: decode → rolling → session → as-of."""
+def ensure_skew_bench_data(spark) -> tuple[str, str]:
+    """Feature events + obs with one entity owning 50% of rows."""
+    os.makedirs(BENCH_DATA, exist_ok=True)
+    ev_path = os.path.join(BENCH_DATA, f"skew_events_{N_SKEW_EVENTS}.parquet")
+    obs_path = os.path.join(BENCH_DATA, f"skew_obs_{N_SKEW_OBS}.parquet")
+    if not (os.path.exists(ev_path) and os.path.exists(obs_path)):
+        from feature_store_spark.pipeline.datagen_spark import (
+            synth_feature_events,
+            synth_observations,
+        )
+
+        synth_feature_events(
+            spark, N_SKEW_EVENTS, N_SKEW_ENTITIES, hot_fraction=0.5
+        ).write.mode("overwrite").parquet(ev_path)
+        synth_observations(
+            spark, N_SKEW_OBS, N_SKEW_ENTITIES, hot_fraction=0.5
+        ).write.mode("overwrite").parquet(obs_path)
+    return ev_path, obs_path
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_image_pipeline(spark, img_path: str, obs_path: str) -> float:
+    """The flagship materialization: decode → rolling → session → as-of.
+    Returns wall seconds for one full pass."""
     import pyspark.sql.functions as F
 
     from feature_store_spark.functions.images import with_image_features
@@ -90,12 +129,53 @@ def bench_image_pipeline(spark, img_path: str, obs_path: str) -> tuple[float, in
         strategy="sliced",
         slice_duration="1d",
     )
-    result.write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    return dt, N_BENCH_OBS
+    _noop(result)
+    return time.time() - t0
+
+
+def bench_skewed_asof(spark, ev_path: str, obs_path: str) -> dict[str, float]:
+    """union vs sliced on a 50%-hot-entity as-of (same data, same session):
+    the round-1 claim 'sliced beats union under skew', measured."""
+    from feature_store_spark.operators.asof import asof_join, release_sliced_caches
+
+    out = {}
+    for strategy in ("union", "sliced"):
+        events = spark.read.parquet(ev_path)
+        obs = spark.read.parquet(obs_path)
+        t0 = time.time()
+        _noop(
+            asof_join(
+                obs, events,
+                on="entity_id", obs_time="obs_time", feature_time="event_time",
+                feature_cols=["fv1", "fv2"], tiebreak_cols=["seq"],
+                strategy=strategy, slice_duration="1d",
+            )
+        )
+        out[strategy] = round(time.time() - t0, 3)
+        release_sliced_caches()
+        spark.catalog.clearCache()
+    return out
+
+
+def previous_bench() -> tuple[str | None, dict]:
+    """Newest BENCH_r{N}.json in the repo root, for per-query deltas."""
+    cands = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None, {}
+    _, path = max(cands)
+    try:
+        with open(path) as f:
+            return os.path.basename(path), json.load(f)
+    except Exception:
+        return None, {}
 
 
 def main() -> None:
+    from feature_store_spark.operators.asof import release_sliced_caches
     from feature_store_spark.registry import REGISTRY
     from feature_store_spark.session import get_spark
 
@@ -109,30 +189,62 @@ def main() -> None:
     times: dict[str, float] = {}
 
     img_path, obs_path = ensure_image_bench_data()
+    ev_path, sobs_path = ensure_skew_bench_data(spark)
     # warm the JVM (codegen, window exec, Arrow workers) at tiny scale so
     # the first timed query doesn't absorb one-time JIT cost
     warm_fn, _ = REGISTRY["asof_join"]
-    warm_fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite").save()
+    _noop(warm_fn(spark, "/root/testdata/sf0.001"))
+    release_sliced_caches()
     spark.catalog.clearCache()
 
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        _noop(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        release_sliced_caches()
 
-    img_sec, n_obs = bench_image_pipeline(spark, img_path, obs_path)
+    # image materialization: cold pass (includes Arrow worker spin-up),
+    # then steady-state = min of 2 warm passes
+    cold = bench_image_pipeline(spark, img_path, obs_path)
+    release_sliced_caches()
+    spark.catalog.clearCache()
+    warm = []
+    for _ in range(2):
+        warm.append(bench_image_pipeline(spark, img_path, obs_path))
+        release_sliced_caches()
+        spark.catalog.clearCache()
+    img_sec = min(warm)
     times["image_feature_pipeline"] = round(img_sec, 3)
 
+    skew = bench_skewed_asof(spark, ev_path, sobs_path)
+    times["asof_skew_union"] = skew["union"]
+    times["asof_skew_sliced"] = skew["sliced"]
+
     total = round(sum(times.values()), 3)
+    prev_name, prev = previous_bench()
+    deltas = {
+        q: round(times[q] - prev["queries"][q], 3)
+        for q in times
+        if q in prev.get("queries", {})
+    }
     out = {
         "metric": "headline query wall-clock (noop sink) + image feature materialization",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-        "feature_rows_per_sec": round(n_obs / img_sec, 1),
+        "feature_rows_per_sec": round(N_BENCH_OBS / img_sec, 1),
+        "feature_rows_per_sec_cold": round(N_BENCH_OBS / cold, 1),
+        "skew_asof": {
+            "hot_entity_row_fraction": 0.5,
+            "n_events": N_SKEW_EVENTS,
+            "union_sec": skew["union"],
+            "sliced_sec": skew["sliced"],
+            "sliced_speedup": round(skew["union"] / skew["sliced"], 2),
+        },
+        "deltas_vs_prev": deltas,
+        "prev_bench": prev_name,
         "cpus": int(CPUS),
     }
     print(json.dumps(out))

@@ -429,6 +429,114 @@ FROM p
 """
 
 
+def q_pit_latest_expiry(spark, sf):
+    """Feathr-parity PIT retrieval through the feature registry: plain
+    feature + two latest-window features from the same as-of row, each
+    expiring on its OWN window (a 1d latest can be null while the 7d
+    latest and the plain feature survive)."""
+    from feature_store_spark.plans.features import (
+        Feature,
+        FeatureAnchor,
+        FeatureRegistry,
+        WindowAggFeature,
+        get_offline_features,
+    )
+
+    reg = FeatureRegistry()
+    reg.register_anchor(
+        FeatureAnchor(
+            name="clicks", key="user_id", event_time="ts",
+            tiebreak=["event_id"],
+            features=[Feature("value_x2", "value * 2", "double")],
+            window_features=[
+                WindowAggFeature("value_1d", "value", agg="latest",
+                                 window="1d", dtype="double"),
+                WindowAggFeature("eid_7d", "event_id", agg="latest",
+                                 window="7d"),
+            ],
+        )
+    )
+    out = get_offline_features(
+        _purchases(spark, sf), {"clicks": _clicks(spark, sf)}, reg,
+        obs_time="obs_ts",
+    )
+    return out.select(
+        "user_id", "obs_event_id",
+        F.round("value_x2", R).alias("value_x2"),
+        F.round("value_1d", R).alias("value_1d"),
+        "eid_7d",
+    )
+
+
+SQL_PIT_LATEST_EXPIRY = f"""
+WITH p AS (SELECT user_id, event_id AS obs_event_id, ts AS obs_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value, event_id
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.obs_event_id,
+  ROUND(c.value * 2, {R}) AS value_x2,
+  CASE WHEN p.obs_ts - c.ts > INTERVAL 1 DAY THEN NULL
+       ELSE ROUND(c.value, {R}) END AS value_1d,
+  CASE WHEN p.obs_ts - c.ts > INTERVAL 7 DAY THEN NULL
+       ELSE c.event_id END AS eid_7d
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.obs_ts >= c.ts
+"""
+
+
+def q_pit_window_agg(spark, sf):
+    """Trailing aggregates evaluated AT the observation time (windows end
+    at obs_ts, not at the last feature event — Feathr
+    WindowAggTransformation semantics, round-1 ADVICE fix)."""
+    from feature_store_spark.plans.features import (
+        FeatureAnchor,
+        FeatureRegistry,
+        WindowAggFeature,
+        get_offline_features,
+    )
+
+    reg = FeatureRegistry()
+    reg.register_anchor(
+        FeatureAnchor(
+            name="clicks", key="user_id", event_time="ts",
+            tiebreak=["event_id"],
+            window_features=[
+                WindowAggFeature("sum_value_1d", "value", agg="sum",
+                                 window="1d"),
+                WindowAggFeature("cnt_1d", "value", agg="count", window="1d"),
+                WindowAggFeature("avg_value_2d", "value", agg="avg",
+                                 window="2d"),
+            ],
+        )
+    )
+    out = get_offline_features(
+        _purchases(spark, sf), {"clicks": _clicks(spark, sf)}, reg,
+        obs_time="obs_ts",
+    )
+    return out.select(
+        "user_id", "obs_event_id",
+        F.round("sum_value_1d", R).alias("sum_value_1d"),
+        F.col("cnt_1d").cast("long").alias("cnt_1d"),
+        F.round("avg_value_2d", R).alias("avg_value_2d"),
+    )
+
+
+SQL_PIT_WINDOW_AGG = f"""
+WITH p AS (SELECT user_id, event_id AS obs_event_id, ts AS obs_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.obs_event_id,
+  ROUND(SUM(CASE WHEN c.ts >= p.obs_ts - INTERVAL 1 DAY THEN c.value END), {R})
+    AS sum_value_1d,
+  CAST(COUNT(CASE WHEN c.ts >= p.obs_ts - INTERVAL 1 DAY THEN c.value END)
+    AS BIGINT) AS cnt_1d,
+  ROUND(AVG(c.value), {R}) AS avg_value_2d
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts <= p.obs_ts
+ AND c.ts >= p.obs_ts - INTERVAL 2 DAY
+GROUP BY p.user_id, p.obs_event_id
+"""
+
+
 def q_range_join(spark, sf):  # J3: 30-day window popularity (interval semantics)
     # per user and calendar week: events in (week_start, week_start+7d]
     e = t(spark, sf, "events")
@@ -506,6 +614,8 @@ FROM customer
 
 
 def q_string_funcs(spark, sf):  # F3: composite keys, lower/trim/split/concat_ws
+    # format_string('%d_%02d', ...) is the reference's composite numeric
+    # encoding (feature_transform.py:133-140)
     c = t(spark, sf, "customer")
     return c.select(
         "c_custkey",
@@ -515,6 +625,8 @@ def q_string_funcs(spark, sf):  # F3: composite keys, lower/trim/split/concat_ws
         F.concat_ws("_", F.lower("c_mktsegment"),
                     F.col("c_nationkey").cast("string")).alias("seg_nation"),
         F.regexp_replace(F.lower("c_name"), " ", "_").alias("name_slug"),
+        F.format_string("%d_%02d", F.col("c_custkey"),
+                        F.col("c_nationkey")).alias("composite_code"),
     )
 
 
@@ -523,7 +635,8 @@ SELECT c_custkey,
   CAST(c_custkey AS VARCHAR) || '#' || LOWER(TRIM(c_name)) AS user_key,
   string_split(c_name, '#')[1] AS name_head,
   LOWER(c_mktsegment) || '_' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
-  REPLACE(LOWER(c_name), ' ', '_') AS name_slug
+  REPLACE(LOWER(c_name), ' ', '_') AS name_slug,
+  printf('%d_%02d', c_custkey, c_nationkey) AS composite_code
 FROM customer
 """
 
@@ -663,24 +776,38 @@ FROM customer
 """
 
 
+# Vietnamese diacritic fold map (reference's lone row-wise Python UDF,
+# item_feature_preprocessing.py:182-185, replaced by JVM translate).
+# Lowercase + uppercase forms so case-preserving folds work too.
+_FOLD_SRC_LO = "áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ"
+_FOLD_DST_LO = "aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd"
+_FOLD_SRC = _FOLD_SRC_LO + _FOLD_SRC_LO.upper()
+_FOLD_DST = _FOLD_DST_LO + _FOLD_DST_LO.upper()
+
+
+def fold_diacritics(col) -> "F.Column":
+    """Case-preserving Vietnamese diacritic fold (covers upper + lower)."""
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
 def q_ascii_fold(spark, sf):  # F4: unidecode-style fold, builtin (no UDF)
-    # the reference's lone row-wise Python UDF (item_feature_preprocessing.py:
-    # 182-185) replaced by a JVM-side translate over a fixed diacritic map
-    src = "áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ"
-    dst = "aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd"
+    # the testdata part names are pure ASCII, so a mixed-case Vietnamese
+    # author prefix is injected to exercise BOTH halves of the fold map
+    # (uppercase diacritics were a round-1 gap)
     p = t(spark, sf, "part")
+    cased = F.concat(F.lit("Đặng Thị Ánh Ề "), F.col("p_name"))
     return p.select(
         "p_partkey",
-        F.translate(F.lower("p_name"), src, dst).alias("name_folded"),
+        fold_diacritics(F.lower("p_name")).alias("name_folded"),
+        fold_diacritics(cased).alias("name_folded_cased"),
     )
 
 
-SQL_ASCII_FOLD = """
+SQL_ASCII_FOLD = f"""
 SELECT p_partkey,
-  translate(LOWER(p_name),
-    'áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ',
-    'aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd')
-    AS name_folded
+  translate(LOWER(p_name), '{_FOLD_SRC}', '{_FOLD_DST}') AS name_folded,
+  translate('Đặng Thị Ánh Ề ' || p_name, '{_FOLD_SRC}', '{_FOLD_DST}')
+    AS name_folded_cased
 FROM part
 """
 
@@ -706,10 +833,21 @@ FROM events GROUP BY user_id
 """
 
 
-def q_image_pipeline(spark, sf):  # engine-only (rows check): full flagship
+# Sidecar paths for the image-pipeline oracle: the Spark query writes
+# generation-time ground truth (stored phash + pixel stats computed while
+# the pixel array was in hand) here, and the DuckDB oracle reads them —
+# the codec itself is not SQL-expressible, but everything downstream of it
+# (decode parity, rolling window, sessionization, as-of) is verified.
+_IMG_ORACLE_DIR = "/tmp/fss_gate_oracle"
+_IMG_TRUTH_PATH = f"{_IMG_ORACLE_DIR}/images_truth.parquet"
+_IMG_OBS_PATH = f"{_IMG_ORACLE_DIR}/obs.parquet"
+
+
+def q_image_pipeline(spark, sf):  # the full flagship, oracle-checked
     """Deterministic in-Spark image gen → decode → rolling+session →
-    sliced as-of.  Non-SQL-expressible (binary codec) → no oracle; the
-    pandas-oracle parity lives in tests/test_pipeline_e2e.py."""
+    sliced as-of.  Writes generation-time truth sidecars so the DuckDB
+    oracle (SQL_IMAGE_PIPELINE) can replay the windows + PIT join over
+    ground-truth decode values."""
     from feature_store_spark.functions.images import with_image_features
     from feature_store_spark.operators.windows import sessionize, with_rolling
     from feature_store_spark.pipeline.datagen_spark import (
@@ -718,11 +856,18 @@ def q_image_pipeline(spark, sf):  # engine-only (rows check): full flagship
     )
 
     n = 2000 if "0.001" not in sf else 500
-    images = synth_images(spark, n, n_entities=max(n // 40, 5))
+    images = synth_images(spark, n, n_entities=max(n // 40, 5), truth=True)
     obs = synth_observations(
         spark, n, n_entities=max(n // 40, 5), prefix="img_"
     ).withColumnRenamed("entity_id", "image_id")
-    feats = with_image_features(images)
+    images.select(
+        "image_id", "event_time", "phash",
+        F.col("truth_mean_r").alias("mean_r"),
+        F.col("truth_std_r").alias("std_r"),
+    ).coalesce(1).write.mode("overwrite").parquet(_IMG_TRUTH_PATH)
+    obs.coalesce(1).write.mode("overwrite").parquet(_IMG_OBS_PATH)
+
+    feats = with_image_features(images.drop("truth_mean_r", "truth_std_r"))
     feats = with_rolling(feats, "image_id", "event_time",
                          {"roll_cnt": F.count(F.lit(1))}, window="1d")
     feats = sessionize(feats, "image_id", "event_time", gap="30m",
@@ -734,4 +879,27 @@ def q_image_pipeline(spark, sf):  # engine-only (rows check): full flagship
     )
     return out.select("image_id", "obs_id", "obs_time", "feature_ts",
                       "phash", F.round("mean_r", R).alias("mean_r"),
-                      "roll_cnt", "session_id")
+                      F.col("roll_cnt").cast("long").alias("roll_cnt"),
+                      "session_id")
+
+
+SQL_IMAGE_PIPELINE = f"""
+WITH f AS (SELECT * FROM '{_IMG_TRUTH_PATH}/*.parquet'),
+o AS (SELECT * FROM '{_IMG_OBS_PATH}/*.parquet'),
+w AS (SELECT image_id, event_time, phash, mean_r,
+        CAST(COUNT(*) OVER (PARTITION BY image_id ORDER BY epoch_us(event_time)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS roll_cnt
+      FROM f),
+g AS (SELECT *, CASE WHEN event_time - LAG(event_time) OVER
+        (PARTITION BY image_id ORDER BY event_time, phash)
+        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM w),
+s AS (SELECT *, image_id || '#' || CAST(SUM(brk) OVER
+        (PARTITION BY image_id ORDER BY event_time, phash
+         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+      FROM g)
+SELECT o.image_id, o.obs_id, o.obs_time, s.event_time AS feature_ts,
+       s.phash, ROUND(s.mean_r, {R}) AS mean_r, s.roll_cnt, s.session_id
+FROM o ASOF LEFT JOIN s
+  ON o.image_id = s.image_id AND o.obs_time >= s.event_time
+"""

@@ -73,6 +73,63 @@ def with_rolling(
     return df.drop(epoch)
 
 
+def rolling_at(
+    obs: DataFrame,
+    events: DataFrame,
+    on: str,
+    obs_time: str,
+    event_time: str,
+    aggs: dict[str, tuple[Column, str | int]],
+) -> DataFrame:
+    """Trailing-window aggregates evaluated AT observation times — the
+    point-in-time form of :func:`with_rolling` (Feathr
+    ``WindowAggTransformation`` semantics: the window ends at the
+    observation timestamp, so events that aged out between their own time
+    and the observation time are NOT counted).
+
+    ``aggs`` maps output name → (aggregate Column over *event* columns,
+    window duration).  For each obs row the aggregate runs over events with
+    ``event_time ∈ [obs_time - window, obs_time]`` (inclusive both ends,
+    same bounds as :func:`with_rolling`).
+
+    Plan shape: union-tag obs and events, ONE shuffle by entity, range
+    frames anchored at each obs row.  Obs rows contribute NULLs to the
+    event columns, so aggregates must reference event columns (``F.sum(c)``
+    / ``F.count(c)``), never ``count(*)`` — they then ignore interleaved
+    obs rows for free.  All obs columns pass through unchanged.
+    """
+    tag = "__rat_tag"
+    ts = "__rat_ts"
+    collide = (set(obs.columns) & set(events.columns)) - {on}
+    if collide:
+        raise ValueError(
+            f"rolling_at: obs and events share value columns {sorted(collide)}"
+            " — rename the event columns (the union would conflate them)"
+        )
+    ev_cols = [c for c in events.columns if c != on]
+    e = events.select(
+        F.col(on),
+        F.col(event_time).cast("timestamp").alias(ts),
+        F.lit(0).alias(tag),
+        *[F.col(c) for c in ev_cols if c != event_time],
+    )
+    o = obs.select(
+        *[F.col(c) for c in obs.columns],
+        F.col(obs_time).cast("timestamp").alias(ts),
+        F.lit(1).alias(tag),
+    )
+    u = e.unionByName(o, allowMissingColumns=True)
+    epoch = "__rat_epoch"
+    u = u.withColumn(epoch, F.unix_micros(F.col(ts)))
+    for out_name, (agg, window) in aggs.items():
+        us = duration_to_us(window)
+        w = Window.partitionBy(on).orderBy(F.col(epoch)).rangeBetween(-us, 0)
+        u = u.withColumn(out_name, agg.over(w))
+    return u.where(F.col(tag) == 1).select(
+        *[F.col(c) for c in obs.columns], *[F.col(n) for n in aggs]
+    )
+
+
 def sessionize(
     df: DataFrame,
     entity: str,

@@ -32,16 +32,21 @@ def synth_feature_events(
     base_ts: str = "2024-01-01",
     span_days: int = 30,
     skew_power: int = 2,
+    hot_fraction: float | None = None,
 ) -> DataFrame:
     """Feature-side event table (entity, event_time, numeric features).
 
     ``skew_power`` > 1 skews entities toward low ids (hot entities), the
-    salting/AQE stressor the north rule names.
+    salting/AQE stressor the north rule names.  ``hot_fraction`` makes
+    entity 0 own that fraction of ALL rows outright — the degenerate
+    single-hot-key case the sliced as-of strategy exists for.
     """
     span_s = span_days * 86400
     df = spark.range(n_rows)
     u = (_h(seed, "e") % 1_000_000) / 1_000_000.0  # uniform [0,1)
     ent = F.floor(F.pow(u, F.lit(skew_power)) * n_entities).cast("long")
+    if hot_fraction is not None:
+        ent = F.when(u < F.lit(hot_fraction), F.lit(0)).otherwise(ent)
     ts = F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(
         F.lit(0), F.lit(0), F.lit(0), (_h(seed, "t") % span_s).cast("double")
     )
@@ -62,10 +67,17 @@ def synth_images(
     base_ts: str = "2024-01-01",
     span_days: int = 30,
     skew_power: int = 2,
+    truth: bool = False,
 ) -> DataFrame:
     """images table (input_hint shape) generated ON EXECUTORS: ids/times via
     md5 expressions, pixels+encode via an Arrow-batched pandas UDF — the
     parallel path for bench-scale data (the pandas generator is driver-bound).
+
+    ``truth=True`` appends ground-truth decode columns (truth_mean_r,
+    truth_std_r — per-channel stats of the reconstructed pixels, computed at
+    generation time while the pixel array is in hand).  The correctness gate
+    writes these to a sidecar so a SQL oracle can verify the whole decode →
+    window → as-of pipeline without being able to run the codec itself.
     """
     from feature_store_spark.functions.images import (
         decode_image,
@@ -82,16 +94,21 @@ def synth_images(
         F.lit(0), F.lit(0), F.lit(0), (_h(sseed, "t") % span_s).cast("double")
     )
 
-    payload_schema = T.StructType(
-        [
-            T.StructField("bytes", T.BinaryType()),
-            T.StructField("w", T.IntegerType()),
-            T.StructField("h", T.IntegerType()),
-            T.StructField("fmt", T.StringType()),
-            T.StructField("caption", T.StringType()),
-            T.StructField("phash", T.LongType()),
+    fields = [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+    if truth:
+        fields += [
+            T.StructField("truth_mean_r", T.DoubleType()),
+            T.StructField("truth_std_r", T.DoubleType()),
         ]
-    )
+    payload_schema = T.StructType(fields)
+    col_names = [f.name for f in fields]
 
     @F.pandas_udf(payload_schema)
     def gen_payload(ids: pd.Series) -> pd.DataFrame:
@@ -110,11 +127,14 @@ def synth_images(
                                                           int(rng.integers(3, 8))))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             data = encode_image(px, fmt)
-            ph = phash64(decode_image(data))
-            rows.append((data, w, h, fmt, cap, ph))
-        return pd.DataFrame(
-            rows, columns=["bytes", "w", "h", "fmt", "caption", "phash"]
-        )
+            dec = decode_image(data)
+            ph = phash64(dec)
+            row = (data, w, h, fmt, cap, ph)
+            if truth:
+                r = dec[:, :, 0].astype(np.float64)
+                row = row + (float(r.mean()), float(r.std()))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=col_names)
 
     return df.select(
         F.concat(F.lit("img_"), ent.cast("string")).alias("image_id"),
@@ -132,11 +152,14 @@ def synth_observations(
     span_days: int = 31,
     skew_power: int = 2,
     prefix: str = "ent_",
+    hot_fraction: float | None = None,
 ) -> DataFrame:
     span_s = span_days * 86400
     df = spark.range(n_rows)
     u = (_h(seed, "e") % 1_000_000) / 1_000_000.0
     ent = F.floor(F.pow(u, F.lit(skew_power)) * n_entities).cast("long")
+    if hot_fraction is not None:
+        ent = F.when(u < F.lit(hot_fraction), F.lit(0)).otherwise(ent)
     ts = F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(
         F.lit(0), F.lit(0), F.lit(0), (_h(seed, "t") % span_s).cast("double")
     )

@@ -53,6 +53,15 @@ class WindowAggFeature:
     """Trailing-window aggregate evaluated point-in-time at retrieval.
 
     ``agg`` ∈ {latest, sum, count, avg, max, min}; ``window`` like "7d".
+
+    Semantics (Feathr ``WindowAggTransformation``, feature_transform.py:
+    179-204): the window ends at the OBSERVATION time.  ``latest`` returns
+    the expr from the newest feature row within ``window`` before obs_time
+    (null once that row ages past the window — each latest feature expires
+    on its own window, independently of other features from the same
+    anchor).  sum/count/avg/max/min aggregate over events with
+    ``event_time ∈ [obs_time - window, obs_time]`` — events that aged out
+    between their own time and obs_time are not counted.
     """
 
     name: str
@@ -136,6 +145,9 @@ def get_offline_features(
     ``sources`` maps anchor name → DataFrame.  ``obs_key_map`` maps anchor
     key column → observation column when names differ.
     """
+    from feature_store_spark.operators.asof import duration_to_us
+    from feature_store_spark.operators.windows import rolling_at
+
     obs_key_map = obs_key_map or {}
     out = observation
     for name, anchor in registry.anchors.items():
@@ -148,54 +160,73 @@ def get_offline_features(
                 feat = feat.withColumnRenamed(anchor.key, obs_key)
             out = out.join(F.broadcast(feat), on=obs_key, how="left")
             continue
-        # event source: window features first (per-event trailing aggs are
-        # expressed at retrieval via as-of + lookback for LATEST, or
-        # pre-aggregated rolling columns for sum/count/avg/max/min)
-        from feature_store_spark.operators.windows import with_rolling
-
-        roll_aggs = {}
-        for w in anchor.window_features:
-            raw = f"__raw_{w.name}"
-            if w.agg == "latest":
-                continue  # handled by the as-of lookback itself
-            fn = {"sum": F.sum, "count": F.count, "avg": F.avg,
-                  "max": F.max, "min": F.min}[w.agg]
-            roll_aggs[w.name] = fn(raw)
-        windows_used = {w.window for w in anchor.window_features if w.agg != "latest"}
-        for wdur in windows_used:
-            aggs = {n: a for n, a in roll_aggs.items()
-                    if next(w for w in anchor.window_features if w.name == n).window == wdur}
-            feat = with_rolling(feat, anchor.key, anchor.event_time, aggs,
-                                window=wdur, tiebreak=anchor.tiebreak)
         latest_feats = [w for w in anchor.window_features if w.agg == "latest"]
-        for w in latest_feats:
-            feat = feat.withColumnRenamed(f"__raw_{w.name}", w.name)
-        feat = feat.drop(*[c for c in feat.columns if c.startswith("__raw_")])
+        trailing = [w for w in anchor.window_features if w.agg != "latest"]
 
-        feature_cols = [f.name for f in anchor.features] + [
-            w.name for w in anchor.window_features
-        ]
-        if obs_key != anchor.key:
-            feat = feat.withColumnRenamed(anchor.key, obs_key)
-        from feature_store_spark.operators.asof import duration_to_us
-
-        lookback = (
-            min((w.window for w in latest_feats), key=duration_to_us)
-            if latest_feats else None
+        # 1. As-of join attaches plain features + latest-window features
+        #    from the single latest feature row (NO anchor-wide lookback —
+        #    each latest feature expires on its OWN window below; a shared
+        #    min-window lookback would wrongly null plain features and
+        #    longer-window latest features, Feathr expires per-feature).
+        asof_payload = feat.drop(
+            *[f"__raw_{w.name}" for w in trailing]
         )
-        joined = asof_join(
+        for w in latest_feats:
+            asof_payload = asof_payload.withColumnRenamed(f"__raw_{w.name}", w.name)
+        asof_cols = [f.name for f in anchor.features] + [w.name for w in latest_feats]
+        if obs_key != anchor.key:
+            asof_payload = asof_payload.withColumnRenamed(anchor.key, obs_key)
+        ts_col = f"__{name}_ts"
+        out = asof_join(
             out,
-            feat,
+            asof_payload,
             on=obs_key,
             obs_time=obs_time,
             feature_time=anchor.event_time,
-            feature_cols=feature_cols,
+            feature_cols=asof_cols,
             tiebreak_cols=anchor.tiebreak,
-            lookback=lookback,
+            lookback=None,
             strategy=asof_strategy,
-            feature_ts_col=f"__{name}_ts",
+            feature_ts_col=ts_col,
         )
-        out = joined.drop(f"__{name}_ts")
+        # 2. Per-feature expiry: a latest feature is null once the joined
+        #    row is older than that feature's own trailing window.
+        age_us = F.unix_micros(F.col(obs_time).cast("timestamp")) - F.unix_micros(
+            F.col(ts_col).cast("timestamp")
+        )
+        for w in latest_feats:
+            col = (
+                F.when(age_us > F.lit(duration_to_us(w.window)), F.lit(None))
+                .otherwise(F.col(w.name))
+            )
+            if w.dtype:
+                col = col.cast(w.dtype)
+            out = out.withColumn(w.name, col)
+        out = out.drop(ts_col)
+
+        # 3. Trailing aggregates (sum/count/avg/max/min) evaluated over
+        #    (obs_time - window, obs_time] AT the observation row — events
+        #    that aged out of the window by obs_time are not counted
+        #    (Feathr WindowAggTransformation; the round-1 carried-forward
+        #    rolling value overcounted them).
+        if trailing:
+            fns = {"sum": F.sum, "count": F.count, "avg": F.avg,
+                   "max": F.max, "min": F.min}
+            ev = feat.select(
+                F.col(anchor.key).alias(obs_key) if obs_key != anchor.key
+                else F.col(anchor.key),
+                F.col(anchor.event_time),
+                *[F.col(f"__raw_{w.name}") for w in trailing],
+            )
+            aggs = {
+                w.name: (fns[w.agg](f"__raw_{w.name}"), w.window)
+                for w in trailing
+            }
+            out = rolling_at(out, ev, obs_key, obs_time,
+                             anchor.event_time, aggs)
+            for w in trailing:
+                if w.dtype:
+                    out = out.withColumn(w.name, F.col(w.name).cast(w.dtype))
     for d in registry.derived:
         col = F.expr(d.expr)
         if d.dtype:

@@ -38,6 +38,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_join": (eq.q_asof_join, eq.SQL_ASOF),
     "asof_lookback": (eq.q_asof_lookback, eq.SQL_ASOF_LOOKBACK),
     "range_join": (eq.q_range_join, eq.SQL_RANGE_JOIN),
+    # PIT retrieval through the feature registry (Feathr-parity semantics)
+    "pit_latest_expiry": (eq.q_pit_latest_expiry, eq.SQL_PIT_LATEST_EXPIRY),
+    "pit_window_agg": (eq.q_pit_window_agg, eq.SQL_PIT_WINDOW_AGG),
     # set ops + scalar functions (SURVEY §2.7, §2.8)
     "union": (eq.q_union, eq.SQL_UNION),
     "conditional_binning": (eq.q_conditional_binning, eq.SQL_CONDITIONAL),
@@ -57,6 +60,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup family
     "minhash_signatures": (tq.q_minhash_signatures, tq.SQL_MINHASH),
     "lsh_pairs": (tq.q_lsh_pairs, tq.SQL_LSH_PAIRS),
+    "lsh_pairs_capped": (tq.q_lsh_pairs_capped, tq.SQL_LSH_PAIRS_CAPPED),
     "simhash": (tq.q_simhash, tq.SQL_SIMHASH),
     "ngram_jaccard": (tq.q_ngram_jaccard, tq.SQL_NGRAM_JACCARD),
     # similarity search
@@ -65,7 +69,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
     # custom grouped op (applyInPandas) + the flagship image pipeline
     "exact_quantiles": (eq.q_exact_quantiles, eq.SQL_EXACT_QUANTILES),
-    "image_pipeline": (eq.q_image_pipeline, None),  # binary codec: rows-only
+    # flagship: the Spark query writes generation-time truth sidecars that
+    # the oracle replays (decode values verified against gen-time ground
+    # truth; windows + sessionize + as-of re-derived in SQL)
+    "image_pipeline": (eq.q_image_pipeline, eq.SQL_IMAGE_PIPELINE),
 }
 
 

@@ -1,0 +1,87 @@
+"""Hot-bucket capping (LSH) and map-side top-k pre-reduce (similarity):
+the two round-1 scale findings, verified for exactness and reporting."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from feature_store_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    lsh_candidate_pairs_with_stats,
+    minhash_signatures,
+)
+from feature_store_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """40 near-identical boilerplate docs (one degenerate LSH bucket) plus
+    a handful of distinct ones."""
+    rows = [(i, "terms of service apply to all users of this site always")
+            for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} about topic {i} entirely "
+                       f"different words {i}") for i in range(5)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_hot_bucket_cap_triggers_and_reports(spark, boilerplate_docs):
+    sigs = minhash_signatures(boilerplate_docs, num_hashes=4)
+    uncapped = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    # degenerate bucket: 40 identical docs → C(40,2) = 780 pairs
+    assert uncapped.count() >= 780
+
+    pairs, dropped = lsh_candidate_pairs_with_stats(
+        sigs, num_hashes=4, band_size=2, max_bucket_size=10
+    )
+    n_pairs = pairs.count()
+    assert n_pairs <= 2 * 45 + 20  # per-bucket pairs bounded by C(10,2)
+    report = dropped.toPandas()
+    assert len(report) >= 1  # the cap triggered AND is reported
+    assert (report["size"] > 10).all()
+    assert (report["n_dropped"] == report["size"] - 10).all()
+    # capped pairs are a subset of the uncapped candidates
+    extra = pairs.exceptAll(uncapped).count()
+    assert extra == 0
+
+
+def test_cap_deterministic_across_parallelism(spark, boilerplate_docs):
+    sigs = minhash_signatures(boilerplate_docs, num_hashes=4)
+    a = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2,
+                            max_bucket_size=5)
+    b = lsh_candidate_pairs(sigs.repartition(13), num_hashes=4, band_size=2,
+                            max_bucket_size=5)
+    pa = a.toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(300),
+            "embedding": [rng.standard_normal(16).astype("float32").tolist()
+                          for _ in range(300)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_partial_topk_equals_full_shuffle(spark, vectors):
+    """The map-side pre-reduce is exact: identical result to the plain
+    full-shuffle window rank, at any input partitioning."""
+    q = vectors.where(vectors.vec_id % 60 == 0).selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    base = cosine_topk(vectors, q, k=4, pre_reduce=False).toPandas()
+    fast = cosine_topk(vectors.repartition(17), q, k=4,
+                       pre_reduce=True).toPandas()
+    key = ["q_id", "rnk"]
+    base = base.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    assert base["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
+    assert (abs(base["cos"] - fast["cos"]) < 1e-12).all()

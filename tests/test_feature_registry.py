@@ -69,6 +69,8 @@ def registry():
                 WindowAggFeature("dur_sum_1d", "duration", agg="sum", window="1d"),
                 WindowAggFeature("last_duration", "duration", agg="latest",
                                  window="7d", dtype="double"),
+                WindowAggFeature("recent_duration", "duration", agg="latest",
+                                 window="1d", dtype="double"),
             ],
         )
     )
@@ -126,6 +128,46 @@ def test_latest_window_expiry(spark, frames, registry):
     ).toPandas()
     assert pd.isna(out.iloc[0]["last_duration"])  # 8d old > 7d window
     assert out.iloc[0]["province"] == "HCM"  # static dim unaffected
+
+
+def test_per_feature_expiry(spark, frames, registry):
+    """Each latest feature expires on its OWN window: a short-window latest
+    feature nulls while plain features and longer-window latest features
+    from the same as-of row survive (round-1 ADVICE: a shared min-window
+    lookback wrongly nulled the whole payload)."""
+    events, dim, obs = frames
+    late = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u1"], "obs_time": [_ts(230)]})
+    )  # latest event h200 → 30h old: > 1d, < 7d
+    out = get_offline_features(
+        late, {"user_events": events, "user_dim": dim}, registry
+    ).toPandas()
+    r = out.iloc[0]
+    assert pd.isna(r["recent_duration"])     # 30h > its own 1d window
+    assert r["last_duration"] == 400.0        # 30h < its own 7d window
+    assert r["capped_duration"] == 250.0      # plain features never expire
+
+
+def test_trailing_agg_evaluated_at_obs_time(spark, frames, registry):
+    """sum/count windows end at the OBSERVATION time: events that aged out
+    between their own time and obs_time are not counted (round-1 ADVICE:
+    the carried-forward rolling value overcounted them)."""
+    events, dim, obs = frames
+    probe = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u1", "u1"],
+                      "obs_time": [_ts(30), _ts(27)]})
+    )
+    out = get_offline_features(
+        probe, {"user_events": events, "user_dim": dim}, registry
+    ).orderBy("obs_time").toPandas()
+    # u1 @ h27: events h0(100)/h1(200) are 26h+ old → empty 1d window,
+    # but the latest row (h1) still serves latest/plain features (< 7d)
+    r = out.iloc[0]
+    assert pd.isna(r["dur_sum_1d"])
+    assert r["last_duration"] == 200.0
+    # u1 @ h30: event at exactly obs_time is included (inclusive bound)
+    r = out.iloc[1]
+    assert r["dur_sum_1d"] == 300
 
 
 def test_materialize_latest_and_infer(spark, frames, registry, tmp_path):
