@@ -169,7 +169,15 @@ def previous_bench() -> tuple[str | None, dict]:
     _, path = max(cands)
     try:
         with open(path) as f:
-            return os.path.basename(path), json.load(f)
+            doc = json.load(f)
+        if "queries" not in doc and isinstance(doc.get("tail"), str):
+            # the driver records our JSON line inside its own wrapper's
+            # "tail" field — unwrap the last metric line
+            for line in reversed(doc["tail"].splitlines()):
+                if line.startswith('{"metric"'):
+                    doc = json.loads(line)
+                    break
+        return os.path.basename(path), doc
     except Exception:
         return None, {}
 
@@ -190,10 +198,13 @@ def main() -> None:
 
     img_path, obs_path = ensure_image_bench_data()
     ev_path, sobs_path = ensure_skew_bench_data(spark)
-    # warm the JVM (codegen, window exec, Arrow workers) at tiny scale so
-    # the first timed query doesn't absorb one-time JIT cost
+    # warm the JVM (codegen, window exec) AND the Python/Arrow workers at
+    # tiny scale so the first timed query doesn't absorb one-time JIT or
+    # worker-spawn cost (~2-5 s once per session, not per query)
     warm_fn, _ = REGISTRY["asof_join"]
     _noop(warm_fn(spark, "/root/testdata/sf0.001"))
+    warm_py, _ = REGISTRY["cosine_topk"]
+    _noop(warm_py(spark, "/root/testdata/sf0.001"))
     release_sliced_caches()
     spark.catalog.clearCache()
 
