@@ -74,6 +74,36 @@ def duration_to_us(d: str | int | float) -> int:
     return int(m.group(1)) * _UNIT_US[m.group(2)]
 
 
+def choose_asof_strategy(
+    features: DataFrame,
+    on: str,
+    hot_share_threshold: float = 0.02,
+) -> str:
+    """Probe the feature side's entity skew and pick a strategy: ``sliced``
+    when one entity owns ≥ ``hot_share_threshold`` of all rows (its
+    timeline would dominate a single window task under ``union``), else
+    ``union`` (one shuffle, no carry join — cheapest when balanced).
+
+    Cost: one counting pass over the feature side (map-side partial
+    combine, shuffles only distinct entities) — noise next to the join
+    itself for a materialization job.  Callers that already know their
+    skew (e.g. from lineage records) should pass the strategy explicitly.
+    """
+    stats = (
+        features.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+        .first()
+    )
+    if not stats or not stats["n"]:
+        return "union"
+    return (
+        "sliced"
+        if float(stats["mx"]) / float(stats["n"]) >= hot_share_threshold
+        else "union"
+    )
+
+
 def asof_join(
     obs: DataFrame,
     features: DataFrame,
@@ -104,6 +134,8 @@ def asof_join(
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c not in (on, feature_time)]
     tiebreak_cols = tiebreak_cols or []
+    if strategy == "auto":
+        strategy = choose_asof_strategy(features, on)
     if strategy == "union":
         return _asof_union(
             obs, features, on, obs_time, feature_time, feature_cols,

@@ -147,3 +147,26 @@ def test_strategies_identical_with_ties(spark):
                   strategy="sliced", slice_duration="45m", **kw
                   ).orderBy("image_id", "obs_time", "seq").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_strategy_picks_by_skew(spark, simple):
+    """strategy='auto' probes entity skew: a 50%-hot feature side routes
+    to sliced, a balanced one to union; results identical either way."""
+    from feature_store_spark.operators.asof import choose_asof_strategy
+    from feature_store_spark.pipeline.datagen_spark import synth_feature_events
+
+    hot = synth_feature_events(spark, 20_000, 1_000, hot_fraction=0.5)
+    balanced = synth_feature_events(spark, 20_000, 1_000, skew_power=1)
+    assert choose_asof_strategy(hot, "entity_id") == "sliced"
+    assert choose_asof_strategy(balanced, "entity_id") == "union"
+
+    obs, feats = simple
+    a = asof_join(obs, feats, feature_cols=["v"], tiebreak_cols=["seq"],
+                  strategy="auto").toPandas()
+    b = asof_join(obs, feats, feature_cols=["v"], tiebreak_cols=["seq"],
+                  strategy="union").toPandas()
+    key = ["image_id", "obs_time"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

@@ -1,0 +1,85 @@
+"""Plan-shape regressions for the window operators: the physical plans
+these operators were designed around, pinned so a refactor can't silently
+reintroduce extra shuffles."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from feature_store_spark.operators.windows import rolling_at
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 5 + ["b"] * 2,
+                "t": [T0 + dt.timedelta(hours=h) for h in range(5)]
+                + [T0, T0 + dt.timedelta(hours=30)],
+                "x": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+            }
+        )
+    )
+    obs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "ot": [T0 + dt.timedelta(hours=h) for h in (1, 2, 9)]
+                + [T0 + dt.timedelta(hours=20)],
+            }
+        )
+    )
+    return obs, ev
+
+
+def test_rolling_at_single_exchange(spark, frames):
+    """Three aggregates over two window durations must compile to ONE
+    Exchange + ONE Sort + ONE Window node (same partitioning/ordering —
+    Catalyst collapses the frames)."""
+    obs, ev = frames
+    out = rolling_at(
+        obs, ev, "k", "ot", "t",
+        {"s1": (F.sum("x"), "1h"), "c1": (F.count("x"), "1h"),
+         "s2": (F.sum("x"), "1d")},
+    )
+    tree = out._jdf.queryExecution().executedPlan().toString().split("\n\n")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", tree)) == 1
+    assert len(re.findall(r"\bSort \[", tree)) == 1
+    assert len(re.findall(r"\bWindow ", tree)) == 1
+
+
+def test_rolling_at_values(spark, frames):
+    obs, ev = frames
+    got = (
+        rolling_at(
+            obs, ev, "k", "ot", "t",
+            {"s1": (F.sum("x"), "1h"), "c1": (F.count("x"), "1h"),
+             "s2": (F.sum("x"), "1d")},
+        )
+        .orderBy("k", "ot")
+        .toPandas()
+    )
+    # a@h1: 1h window covers h0,h1 → s1=3; 1d covers both too
+    assert got.iloc[0]["s1"] == 3.0 and got.iloc[0]["c1"] == 2
+    # a@h9: no event within 1h (last at h4) → sum null, count 0;
+    # 1d window still sees h0..h4 → 15
+    r = got.iloc[2]
+    assert pd.isna(r["s1"]) and r["c1"] == 0 and r["s2"] == 15.0
+    # b@h20: 1h window empty (events at h0, h30>obs) → null/0; 1d sees h0
+    r = got.iloc[3]
+    assert pd.isna(r["s1"]) and r["s2"] == 10.0
+
+
+def test_rolling_at_rejects_column_collisions(spark, frames):
+    obs, ev = frames
+    with pytest.raises(ValueError, match="share value columns"):
+        rolling_at(obs.withColumn("x", F.lit(1.0)), ev, "k", "ot", "t",
+                   {"s1": (F.sum("x"), "1h")})
