@@ -188,6 +188,64 @@ def image_features_tolerant_udf(data: pd.Series) -> pd.DataFrame:
     return _features_batch(data, tolerant=True)
 
 
+def resize_nn(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWx3 uint8 array (same kernel the
+    pHash pipeline uses — deterministic, no interpolation libs needed)."""
+    h, w = pixels.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[np.ix_(ri, ci)]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def resize_udf(out_w: int, out_h: int, fmt: str = "png"):
+    """Factory: Arrow-batched UDF decoding each payload, nearest-neighbor
+    resizing to (out_w, out_h), and re-encoding as ``fmt``."""
+
+    @F.pandas_udf(RESIZED_SCHEMA)
+    def _resize(data: pd.Series) -> pd.DataFrame:
+        out = {"bytes": [], "w": [], "h": []}
+        for buf in data:
+            if buf is None:
+                out["bytes"].append(None)
+                out["w"].append(None)
+                out["h"].append(None)
+                continue
+            small = resize_nn(decode_image(bytes(buf)), out_w, out_h)
+            out["bytes"].append(encode_image(small, fmt))
+            out["w"].append(out_w)
+            out["h"].append(out_h)
+        return pd.DataFrame(out)
+
+    return _resize
+
+
+def with_resized_images(df, out_w: int, out_h: int, fmt: str = "png",
+                        bytes_col: str = "bytes"):
+    """Replace the image payload with a (out_w x out_h) thumbnail —
+    decode → resize → re-encode in one Arrow-batched map stage (the
+    training-data "resize" transform).  Output bytes REPLACE the input
+    column in place, so the no-bytes-through-shuffles contract is the
+    caller's as before: resize in the scan stage, write or feature-extract
+    before any wide operator."""
+    u = resize_udf(out_w, out_h, fmt)
+    keep = [c for c in df.columns if c not in (bytes_col, "w", "h")]
+    return df.withColumn("__r", u(F.col(bytes_col))).select(
+        *keep,
+        F.col("__r.bytes").alias(bytes_col),
+        F.col("__r.w").alias("w"),
+        F.col("__r.h").alias("h"),
+    )
+
+
 @F.pandas_udf(T.LongType())
 def phash_udf(data: pd.Series) -> pd.Series:
     """bytes → 64-bit perceptual hash."""

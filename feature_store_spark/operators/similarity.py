@@ -123,6 +123,81 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     return F.expr("concat(" + ",".join(bits) + ")")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    centroid_pred,
+    query_pred,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored ANN: a deterministic coarse quantizer (the centroid
+    vectors selected by ``centroid_pred``, e.g. a hash-sampled subset — the
+    'train' step), every vector assigned to its nearest-centroid cell, and
+    queries probing their ``nprobe`` nearest cells with exact cosine inside.
+
+    Scale shape: the quantizer is collected once (K small) and broadcast as
+    literal expressions, so cell assignment is MAP-ONLY — no N×K join, no
+    shuffle until the final bucket join; candidates per query ≈
+    nprobe × N / K.  Ties (equal centroid cosine) break to the smallest
+    centroid id in both the engine and the SQL oracle.
+    """
+    cents = (
+        corpus.where(centroid_pred)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    if not cents:
+        raise ValueError("centroid_pred selected no centroids")
+    cids = [r["cid"] for r in cents]
+    cid_arr = "array(" + ",".join(str(c) for c in cids) + ")"
+    score_exprs = []
+    for r in cents:
+        vec = [float(x) for x in r["cv"]]
+        arr = "array(" + ",".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec
+        ) + ")"
+        cnorm = sum(x * x for x in vec) ** 0.5
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        score_exprs.append(f"(({dot}) / __vn / CAST('{cnorm!r}' AS DOUBLE))")
+    scores = "array(" + ",".join(score_exprs) + ")"
+
+    base = corpus.withColumn(
+        "__vn", F.sqrt(dot_expr(vec_col, vec_col))
+    ).withColumn("__scores", F.expr(scores))
+    assigned = base.select(
+        id_col, vec_col,
+        F.expr(
+            f"element_at({cid_arr}, CAST(array_position(__scores, "
+            f"array_max(__scores)) AS INT))"
+        ).alias("cell"),
+    )
+    probe = (
+        f"slice(transform(array_sort(transform(__scores, "
+        f"(s, i) -> struct(-s AS negs, i AS i))), "
+        f"x -> element_at({cid_arr}, x.i + 1)), 1, {nprobe})"
+    )
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(F.expr(probe)).alias("cell"),
+    )
+    j = assigned.join(F.broadcast(q), on="cell").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = j.select(
+        "q_id", F.col(id_col).alias("neighbor_id"),
+        cosine_expr("q_emb", vec_col).alias("cos"),
+    )
+    return _exact_topk(_partial_topk(scored, k, "q_id"), k, "q_id")
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query_pred,

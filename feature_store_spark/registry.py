@@ -57,6 +57,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (tq.q_text_stats, tq.SQL_TEXT_STATS),
     "lang_id": (tq.q_lang_id, tq.SQL_LANG_ID),
     "fingerprint": (tq.q_fingerprint, tq.SQL_FINGERPRINT),
+    "token_count": (tq.q_token_count, tq.SQL_TOKEN_COUNT),
+    "winnow_fingerprint": (tq.q_winnow_fingerprint, tq.SQL_WINNOW_FINGERPRINT),
     # dedup family
     "minhash_signatures": (tq.q_minhash_signatures, tq.SQL_MINHASH),
     "lsh_pairs": (tq.q_lsh_pairs, tq.SQL_LSH_PAIRS),
@@ -67,6 +69,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cosine_topk": (tq.q_cosine_topk, tq.SQL_COSINE_TOPK),
     "embedding_near_dup": (tq.q_embedding_near_dup, tq.SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
+    "ann_ivf": (tq.q_ann_ivf, tq.SQL_ANN_IVF),
     # custom grouped op (applyInPandas) + the flagship image pipeline
     "exact_quantiles": (eq.q_exact_quantiles, eq.SQL_EXACT_QUANTILES),
     # flagship: the Spark query writes generation-time truth sidecars that

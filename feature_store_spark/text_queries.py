@@ -106,6 +106,98 @@ FROM documents GROUP BY 1
 """
 
 
+# BPE-ish tokenization: letter runs, digit runs, punctuation runs — the
+# pre-tokenizer regex shape GPT-2-family BPEs split on (ASCII form so the
+# Java and RE2 regex engines agree byte-for-byte).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_token_count(spark, sf):
+    """Token counting two ways: whitespace words and a BPE-ish
+    pre-tokenizer regex (letters/digits/punct runs) — the unit LLM data
+    budgets are measured in."""
+    d = t(spark, sf, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
+        F.round(F.size(bpe) / F.length("text"), R).alias("tokens_per_char"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
+    AS BIGINT) AS n_bpe_distinct,
+  ROUND(len(regexp_extract_all(text, '{_BPE_RE}')) * 1.0 / LENGTH(text), {R})
+    AS tokens_per_char
+FROM documents
+"""
+
+_WINNOW_K = 8  # char k-gram length
+_WINNOW_W = 4  # winnowing window (min-hash per window position)
+
+
+def q_winnow_fingerprint(spark, sf):
+    """Winnowing document fingerprints (rolling-hash family): hash every
+    ``k``-char gram, keep the minimum hash of each length-``w`` window of
+    consecutive gram positions, dedup — the classic local fingerprinting
+    scheme (Schleimer et al., SIGMOD'03) used for plagiarism/near-dup
+    detection.  Pure higher-order functions: map-only until the final
+    explode+distinct."""
+    d = t(spark, sf, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(length(text) - {_WINNOW_K} + 1, 1)),"
+        f" i -> substring(text, i, {_WINNOW_K}))"
+    )
+    hashes = (
+        f"transform({grams}, g ->"
+        f" CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # materialize the hash array as a COLUMN before windowing: inlining the
+    # expression into the per-position lambda would re-hash the whole doc
+    # once per window position (O(n^2) md5 calls per document)
+    d = d.select("doc_id", F.expr(hashes).alias("__hashes"))
+    wins = (
+        f"transform(sequence(1, greatest(size(__hashes) - {_WINNOW_W} + 1, 1)),"
+        f" i -> array_min(slice(__hashes, i, {_WINNOW_W})))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, greatest(LENGTH(text) - {_WINNOW_K} + 1, 1)),
+      i -> {_sql_h60(f"substr(text, i, {_WINNOW_K})")}) AS hashes
+  FROM documents),
+w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(hashes) - {_WINNOW_W} + 1, 1)),
+      i -> list_min(hashes[i:i+{_WINNOW_W - 1}]))) AS fps
+  FROM g)
+SELECT doc_id,
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  list_min(fps) AS min_fp,
+  list_max(fps) AS max_fp
+FROM w
+"""
+
+
 # =====================================================================
 # Deduplication family
 # =====================================================================
@@ -429,6 +521,62 @@ FROM r WHERE rnk <= 3
 
 
 SQL_ANN_LSH = _sql_ann_lsh()
+
+_IVF_CENT_MOD = 40   # centroids = vec_id % 40 == 0 (deterministic 'train')
+_IVF_NPROBE = 2
+_IVF_K = 3
+
+
+def q_ann_ivf(spark, sf):
+    """IVF ANN: hash-sampled centroids as the coarse quantizer, map-only
+    cell assignment (quantizer broadcast as literals), queries probe their
+    2 nearest cells, exact cosine inside — the inverted-file counterpart
+    to the hyperplane-LSH path."""
+    from feature_store_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(
+        t(spark, sf, "embeddings"),
+        centroid_pred=F.col("vec_id") % _IVF_CENT_MOD == 0,
+        query_pred=F.col("vec_id") % 50 == 0,
+        nprobe=_IVF_NPROBE, k=_IVF_K,
+    )
+    return out.select(
+        "q_id", "neighbor_id",
+        F.round("cos", 6).alias("cos_sim"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id % {_IVF_CENT_MOD} = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    list_dot_product(e.embedding::DOUBLE[], c.cvec)
+      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      / sqrt(list_dot_product(c.cvec, c.cvec)) AS ccos
+  FROM embeddings e CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+    WHERE vec_id % 50 = 0) WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id,
+    list_dot_product(q.q_emb::DOUBLE[], a.embedding::DOUBLE[])
+      / sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+      / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      AS cos
+  FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM cand)
+SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {_IVF_K}
+"""
 
 
 def _sql_embedding_near_dup() -> str:

@@ -85,3 +85,32 @@ def test_partial_topk_equals_full_shuffle(spark, vectors):
     fast = fast.sort_values(key).reset_index(drop=True)
     assert base["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
     assert (abs(base["cos"] - fast["cos"]) < 1e-12).all()
+
+
+def test_ivf_topk_shape_and_exactness_within_probed_cells(spark, vectors):
+    """IVF: every (q, neighbor) pair lies in a probed cell, ranks are
+    exact cosine order, and raising nprobe to K recovers the exact top-k."""
+    import pyspark.sql.functions as F
+
+    from feature_store_spark.operators.similarity import ivf_topk
+
+    q_pred = vectors.vec_id % 60 == 0
+    c_pred = vectors.vec_id % 25 == 0  # 12 centroids
+    approx = ivf_topk(vectors, c_pred, q_pred, nprobe=2, k=4).toPandas()
+    assert (approx.groupby("q_id")["rnk"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))).all())
+    # nprobe = all cells → identical to exact brute force
+    full = ivf_topk(vectors, c_pred, q_pred, nprobe=12, k=4).toPandas()
+    exact = cosine_topk(
+        vectors,
+        vectors.where(q_pred).selectExpr("vec_id AS q_id", "embedding AS q_emb"),
+        k=4,
+    ).toPandas()
+    key = ["q_id", "rnk"]
+    assert (
+        full.sort_values(key)["neighbor_id"].tolist()
+        == exact.sort_values(key)["neighbor_id"].tolist()
+    )
+
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_topk(vectors, F.lit(False), q_pred)

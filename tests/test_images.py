@@ -98,3 +98,33 @@ def test_tolerant_decode_nulls_corrupt_rows(spark):
     # strict mode still fails loudly
     with pytest.raises(Exception):
         with_image_features(spark.createDataFrame(rows)).collect()
+
+
+def test_resize_pipeline(spark):
+    """decode → nearest-neighbor resize → re-encode in one map stage:
+    dims correct, lossless for png, deterministic, other columns kept."""
+    import numpy as np
+
+    from feature_store_spark.functions.images import (
+        decode_image,
+        resize_nn,
+        with_resized_images,
+    )
+    from feature_store_spark.pipeline.datagen import generate_images
+
+    pdf = generate_images(n_rows=40, n_entities=5, seed=77)
+    df = spark.createDataFrame(pdf)
+    out = with_resized_images(df, out_w=8, out_h=6, fmt="png").toPandas()
+    assert len(out) == 40
+    assert set(["image_id", "caption", "event_time"]).issubset(out.columns)
+    assert (out["w"] == 8).all() and (out["h"] == 6).all()
+    # decoded thumbnails equal the numpy kernel applied to the original
+    src = pdf.set_index(pdf.index)
+    for i in [0, 7, 23]:
+        want = resize_nn(decode_image(bytes(src.iloc[i]["bytes"])), 8, 6)
+        got = decode_image(bytes(out.iloc[i]["bytes"]))
+        assert got.shape == (6, 8, 3)
+        assert np.array_equal(got, want)
+    # deterministic across runs
+    again = with_resized_images(df, out_w=8, out_h=6, fmt="png").toPandas()
+    assert [bytes(b) for b in out["bytes"]] == [bytes(b) for b in again["bytes"]]
