@@ -51,30 +51,37 @@ HEADLINE = [
     "cosine_topk",
 ]
 
-N_BENCH_IMAGES = 30_000
-N_BENCH_ENTITIES = 300
-N_BENCH_OBS = 30_000
+# 150k rows: large enough that decode throughput dominates the fixed
+# ~6 s window/as-of tail (at 30k the tail dominated and understated the
+# steady-state rows/sec by ~5x); generated executor-parallel, cached once.
+N_BENCH_IMAGES = 150_000
+N_BENCH_ENTITIES = 1_500
+N_BENCH_OBS = 150_000
 N_SKEW_EVENTS = 2_000_000
 N_SKEW_OBS = 200_000
 N_SKEW_ENTITIES = 5_000
 
 
-def ensure_image_bench_data() -> tuple[str, str]:
-    """Generate-once (deterministic) images + observations parquet."""
+def ensure_image_bench_data(spark) -> tuple[str, str]:
+    """Generate-once (deterministic, executor-parallel) images + obs."""
     os.makedirs(BENCH_DATA, exist_ok=True)
     img_path = os.path.join(BENCH_DATA, f"images_{N_BENCH_IMAGES}.parquet")
     obs_path = os.path.join(BENCH_DATA, f"obs_{N_BENCH_OBS}.parquet")
     if not (os.path.exists(img_path) and os.path.exists(obs_path)):
-        from feature_store_spark.pipeline.datagen import (
-            generate_images,
-            generate_observations,
-            write_parquet,
+        from feature_store_spark.pipeline.datagen_spark import (
+            synth_images,
+            synth_observations,
         )
 
-        img = generate_images(n_rows=N_BENCH_IMAGES, n_entities=N_BENCH_ENTITIES, seed=42)
-        obs = generate_observations(img, n_obs=N_BENCH_OBS, seed=43)
-        write_parquet(img, img_path)
-        write_parquet(obs, obs_path)
+        synth_images(
+            spark, N_BENCH_IMAGES, n_entities=N_BENCH_ENTITIES, seed=42
+        ).write.mode("overwrite").parquet(img_path)
+        synth_observations(
+            spark, N_BENCH_OBS, n_entities=N_BENCH_ENTITIES, seed="43",
+            prefix="img_",
+        ).withColumnRenamed("entity_id", "image_id").write.mode(
+            "overwrite"
+        ).parquet(obs_path)
     return img_path, obs_path
 
 
@@ -189,14 +196,14 @@ def main() -> None:
 
     spark = get_spark(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS) * 2,
-        # the 30k-image bench parquet is ~40MB; split ~1MB so decode
+        # the 150k-image bench parquet is ~210MB; split ~1MB so decode
         # parallelism matches the core count (split sizing = rows/byte x
         # per-row CPU, not byte volume)
         extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
     )
     times: dict[str, float] = {}
 
-    img_path, obs_path = ensure_image_bench_data()
+    img_path, obs_path = ensure_image_bench_data(spark)
     ev_path, sobs_path = ensure_skew_bench_data(spark)
     # warm the JVM (codegen, window exec) AND the Python/Arrow workers at
     # tiny scale so the first timed query doesn't absorb one-time JIT or
@@ -247,6 +254,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "feature_rows_per_sec": round(N_BENCH_OBS / img_sec, 1),
         "feature_rows_per_sec_cold": round(N_BENCH_OBS / cold, 1),
+        "n_bench_images": N_BENCH_IMAGES,
         "skew_asof": {
             "hot_entity_row_fraction": 0.5,
             "n_events": N_SKEW_EVENTS,
