@@ -90,30 +90,44 @@ def _dct_matrix(n: int) -> np.ndarray:
     return _DCT_MAT
 
 
+_PHASH_POWS = None
+
+
+def _phash_pows() -> np.ndarray:
+    global _PHASH_POWS
+    if _PHASH_POWS is None:
+        _PHASH_POWS = (
+            np.uint64(1) << np.arange(_PHASH_KEEP * _PHASH_KEEP - 1,
+                                      dtype=np.uint64)
+        )
+    return _PHASH_POWS
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit DCT perceptual hash of an HxWx3 uint8 image (signed int64).
 
     Luma → nearest-neighbor 32x32 resize → 2D DCT-II → top-left 8x8 minus DC
     → bit i set iff coeff > median.  Deterministic; shared by the engine's
     pandas UDF and the pandas oracle.
+
+    Hot-path notes (bit-exact rewrites of the obvious formulation,
+    verified value-identical): luma is computed AFTER the subsample
+    (elementwise op commutes with row/col selection), the 63-element
+    median is the middle order statistic via ``np.partition`` (odd count —
+    identical to ``np.median``), and the bit pack is one uint64 dot
+    (all powers distinct, no overflow below 2^63).
     """
-    gray = (
-        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
-    )
-    h, w = gray.shape
+    h, w = pixels.shape[:2]
     ri = (np.arange(_PHASH_RESIZE) * h // _PHASH_RESIZE).clip(0, h - 1)
     ci = (np.arange(_PHASH_RESIZE) * w // _PHASH_RESIZE).clip(0, w - 1)
-    small = gray[np.ix_(ri, ci)]
+    ps = pixels[np.ix_(ri, ci)]
+    small = 0.299 * ps[:, :, 0] + 0.587 * ps[:, :, 1] + 0.114 * ps[:, :, 2]
     c = _dct_matrix(_PHASH_RESIZE)
     dct = c @ small @ c.T
     block = dct[:_PHASH_KEEP, :_PHASH_KEEP].flatten()[1:]  # drop DC term
-    med = np.median(block)
-    bits = block > med
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64).view(np.int64))
+    med = np.partition(block, block.size // 2)[block.size // 2]
+    bits = (block > med).astype(np.uint64)
+    return int(np.dot(bits, _phash_pows()))
 
 
 def decode_stats(pixels: np.ndarray) -> tuple[float, ...]:
