@@ -37,6 +37,9 @@ def q_text_stats(spark, sf):  # token counting + quality ratios
     d = t(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    )
     return d.select(
         "doc_id",
         F.length("text").alias("text_len"),
@@ -46,6 +49,7 @@ def q_text_stats(spark, sf):  # token counting + quality ratios
         F.expr(f"size(filter({_TOKS}, x -> x IN {_STOPWORDS}))")
         .cast("long")
         .alias("n_stopwords"),
+        F.round(n_punct / F.length("text"), R).alias("punct_ratio"),
     )
 
 
@@ -57,7 +61,9 @@ SELECT doc_id,
   ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
         / len(string_split(text, ' ')), {R}) AS type_token_ratio,
   CAST(len(list_filter(string_split(text, ' '),
-       x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stopwords
+       x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stopwords,
+  ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+        * 1.0 / LENGTH(text), {R}) AS punct_ratio
 FROM documents
 """
 

@@ -83,3 +83,55 @@ def test_rolling_at_rejects_column_collisions(spark, frames):
     with pytest.raises(ValueError, match="share value columns"):
         rolling_at(obs.withColumn("x", F.lit(1.0)), ev, "k", "ot", "t",
                    {"s1": (F.sum("x"), "1h")})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rolling_at_property_vs_bruteforce(spark, seed):
+    """Random events/obs: rolling_at equals the per-row brute-force
+    definition (sum/count/avg over [obs - window, obs], inclusive)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_ev, n_obs, n_ent = 400, 150, 8
+    ev = pd.DataFrame(
+        {
+            "k": [f"e{int(i)}" for i in rng.integers(0, n_ent, n_ev)],
+            "t": [T0 + dt.timedelta(seconds=int(s))
+                  for s in rng.integers(0, 3 * 86400, n_ev)],
+            "x": np.round(rng.normal(10, 3, n_ev), 3),
+        }
+    )
+    ob = pd.DataFrame(
+        {
+            "k": [f"e{int(i)}" for i in rng.integers(0, n_ent, n_obs)],
+            "ot": [T0 + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 4 * 86400, n_obs)],
+            "rid": range(n_obs),
+        }
+    )
+    got = (
+        rolling_at(
+            spark.createDataFrame(ob), spark.createDataFrame(ev),
+            "k", "ot", "t",
+            {"s1h": (F.sum("x"), "1h"), "c1h": (F.count("x"), "1h"),
+             "a1d": (F.avg("x"), "1d")},
+        )
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_obs
+    for _, r in got.iterrows():
+        e = ev[ev.k == r.k]
+        for name, win_s, agg in [("s1h", 3600, "sum"), ("c1h", 3600, "count"),
+                                 ("a1d", 86400, "avg")]:
+            lo = r.ot - dt.timedelta(seconds=win_s)
+            sel = e[(e.t >= lo) & (e.t <= r.ot)]["x"]
+            if agg == "count":
+                assert r[name] == len(sel), (r.rid, name)
+            elif len(sel) == 0:
+                assert pd.isna(r[name]), (r.rid, name)
+            elif agg == "sum":
+                assert abs(r[name] - sel.sum()) < 1e-9, (r.rid, name)
+            else:
+                assert abs(r[name] - sel.mean()) < 1e-9, (r.rid, name)
