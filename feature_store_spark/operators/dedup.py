@@ -55,22 +55,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows (id, hash_idx, minhash).
 
-    Scale shape: shingle → explode → groupBy(id, hash_idx).min — one
-    shuffle with map-side partial min; no pairwise comparisons.
+    Scale shape: shingle → explode ONCE → all ``num_hashes`` mins as
+    parallel aggregate columns in one groupBy (map-side partial min), then
+    a tiny unpivot back to rows.  The obvious second explode over hash
+    indices multiplies the exploded row volume by ``num_hashes`` for no
+    information — same results, ~num_hashes× the rows hashed and moved
+    (round-2 rework; values identical to the row-per-hash form).
     """
     ex = df.select(
         F.col(id_col), F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("s")
     )
-    hs = ex.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
-        "s",
-    ).select(
-        id_col,
-        "hash_idx",
-        h60(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+    aggs = [
+        F.min(
+            h60(F.concat(F.lit(str(i)), F.lit("|"), F.col("s")))
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"{i}, __m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) AS (hash_idx, minhash)"
     )
-    return hs.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
