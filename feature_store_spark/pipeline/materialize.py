@@ -57,7 +57,7 @@ from feature_store_spark.io.tables import PartitionedTable
 from feature_store_spark.operators.asof import (
     asof_join,
     duration_to_us,
-    release_sliced_caches,
+    sliced_cache_scope,
 )
 from feature_store_spark.operators.windows import (
     sessionize,
@@ -435,35 +435,35 @@ def materialize(
         else:
             feats = spark.createDataFrame([], _EMPTY_FEATURES_DDL)
 
-        result = asof_join(
-            obs,
-            feats,
-            on="image_id",
-            obs_time="obs_time",
-            feature_time="event_time",
-            feature_cols=FEATURE_COLS,
-            tiebreak_cols=["phash", "caption"],
-            lookback=lookback,
-            strategy=asof_strategy,
-            slice_duration="1d",
-        ).withColumn(obs_table.partition_col, F.lit(part))
+        with sliced_cache_scope():
+            result = asof_join(
+                obs,
+                feats,
+                on="image_id",
+                obs_time="obs_time",
+                feature_time="event_time",
+                feature_cols=FEATURE_COLS,
+                tiebreak_cols=["phash", "caption"],
+                lookback=lookback,
+                strategy=asof_strategy,
+                slice_duration="1d",
+            ).withColumn(obs_table.partition_col, F.lit(part))
 
-        # lineage inputs: ONE job for row count + skew, one tiny job for
-        # the watermark over the (entities + day) feature frame
-        stats = (
-            obs.groupBy("image_id").count()
-            .agg(
-                F.sum("count").alias("n"),
-                F.max("count").alias("mx"),
-                F.avg("count").alias("mean"),
+            # lineage inputs: ONE job for row count + skew, one tiny job
+            # for the watermark over the (entities + day) feature frame
+            stats = (
+                obs.groupBy("image_id").count()
+                .agg(
+                    F.sum("count").alias("n"),
+                    F.max("count").alias("mx"),
+                    F.avg("count").alias("mean"),
+                )
+                .first()
             )
-            .first()
-        )
-        n_obs = int(stats["n"]) if stats["n"] is not None else 0
-        watermark = feats.agg(F.max("event_time")).first()[0]
+            n_obs = int(stats["n"]) if stats["n"] is not None else 0
+            watermark = feats.agg(F.max("event_time")).first()[0]
 
-        out_snap = out_table.write(result, mode="overwrite_partitions")
-        release_sliced_caches()
+            out_snap = out_table.write(result, mode="overwrite_partitions")
         n_out = out_snap.partitions.get(part, 0)
 
         lineage.append(

@@ -35,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from feature_store_spark.io.tables import PartitionedTable
+from feature_store_spark.operators.asof import sliced_cache_scope
 from feature_store_spark.pipeline.infer import OnlineStore, infer
 from feature_store_spark.pipeline.materialize import (
     CheckpointManifest,
@@ -184,13 +185,17 @@ class FeaturePipeline:
             sources = {
                 name: feats for name in self.registry.anchors
             }
-            train = get_offline_features(
-                obs, sources, self.registry, obs_time="obs_time",
-                asof_strategy=self.asof_strategy,
-            )
-            train.write.mode("overwrite").parquet(
-                os.path.join(self.out, "training_features.parquet")
-            )
+            # scope the sliced strategy's per-anchor persists to this
+            # stage: released right after the training frame is written,
+            # instead of accumulating for the session's lifetime
+            with sliced_cache_scope():
+                train = get_offline_features(
+                    obs, sources, self.registry, obs_time="obs_time",
+                    asof_strategy=self.asof_strategy,
+                )
+                train.write.mode("overwrite").parquet(
+                    os.path.join(self.out, "training_features.parquet")
+                )
             return train
 
         return self._retry(_run, "training")

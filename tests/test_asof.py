@@ -170,3 +170,42 @@ def test_auto_strategy_picks_by_skew(spark, simple):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_sliced_cache_scoping(spark, simple):
+    """Caches register to the innermost scope and are unpersisted on exit;
+    unscoped caches stay global until release_sliced_caches (round-2
+    ADVICE: scope per call site, don't over-release other callers')."""
+    from feature_store_spark.operators import asof as asof_mod
+    from feature_store_spark.operators.asof import (
+        release_sliced_caches,
+        sliced_cache_scope,
+    )
+
+    obs, feats = simple
+    release_sliced_caches()
+
+    def run_sliced(slice_duration="30m"):
+        # distinct slice_duration per call → distinct logical plans, as at
+        # the real call sites (Spark's CacheManager dedupes identical plans,
+        # which would alias the two scopes' cache entries)
+        out = asof_join(obs, feats, feature_cols=["v"], tiebreak_cols=["seq"],
+                        strategy="sliced", slice_duration=slice_duration)
+        out.count()
+        return out
+
+    with sliced_cache_scope() as outer:
+        run_sliced()
+        assert len(outer) == 1 and not asof_mod._SLICED_CACHES
+        cached = outer[0]
+        assert cached.storageLevel.useMemory  # persisted while in scope
+        with sliced_cache_scope() as inner:
+            run_sliced(slice_duration="15m")
+            assert len(inner) == 1 and len(outer) == 1  # no cross-register
+        assert not inner  # inner released on exit...
+        assert outer[0].storageLevel.useMemory  # ...outer untouched
+    assert not cached.storageLevel.useMemory  # released at outer exit
+
+    run_sliced()  # outside any scope → global list, explicit release
+    assert len(asof_mod._SLICED_CACHES) == 1
+    assert release_sliced_caches() == 1 and not asof_mod._SLICED_CACHES
