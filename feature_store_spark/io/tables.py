@@ -28,6 +28,24 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+# Spark's ExternalCatalogUtils.escapePathName char set (Spark 4,
+# catalyst/catalog/ExternalCatalogUtils.scala): control chars, DEL, and
+# these printable chars are %XX-escaped in partition dir names; '+' and
+# space are NOT (hive paths are not form-encoded).
+_PATH_ESCAPE_CHARS = (
+    set('"#%\'*/:=?\\{[]^')
+    | {chr(c) for c in range(1, 0x20)}
+    | {chr(0x7F)}
+)
+
+
+def escape_path_name(value: str) -> str:
+    """Partition value → on-disk dir component, matching what Spark's
+    writer produced (so manifest-driven reads never list directories)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in value
+    )
+
 
 @dataclass
 class Snapshot:
@@ -105,6 +123,7 @@ class PartitionedTable:
         partitions: list[str] | None = None,
         snapshot_id: str | None = None,
         merge_schema: bool = True,
+        schema=None,
     ) -> DataFrame:
         """Read the table at a snapshot (default: current), optionally
         restricted to partitions.
@@ -120,6 +139,13 @@ class PartitionedTable:
         reference's ``mergeSchema=true`` daily-feed contract
         (``featurestore/base/utils/fileops.py:97-103``).
 
+        ``schema`` (DDL string or StructType) ENFORCES a user-supplied read
+        schema instead of inferring from footers — the reference's optional
+        explicit-schema read (``featurestore/base/utils/fileops.py:85-101``);
+        production hygiene for evolving feeds (a type drift fails the read,
+        not a downstream join).  Mutually exclusive with ``merge_schema``
+        semantics (the explicit schema IS the merged view), so it wins.
+
         A manifest-listed dir missing on disk raises (silently skipping
         would under-read committed data).
         """
@@ -134,7 +160,9 @@ class PartitionedTable:
         leaf_dirs, missing = [], []
         for p in wanted:
             for d in snap.mapping[p]:
-                leaf = os.path.join(d, f"{self.partition_col}={p}")
+                leaf = os.path.join(
+                    d, f"{self.partition_col}={escape_path_name(p)}"
+                )
                 (leaf_dirs if os.path.exists(leaf) else missing).append(leaf)
         if missing:
             raise FileNotFoundError(
@@ -146,15 +174,29 @@ class PartitionedTable:
                 f"no data for partitions={partitions} in {self.path}"
             )
         reader = spark.read
-        if merge_schema:
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*leaf_dirs)
         # partition value from the file path (exact string — no partition
         # type inference): greedy .* anchors on the LAST `col=value` path
-        # component; hive %-escapes decoded only when present.
+        # component.  ``_metadata.file_path`` is a URI, so the dir name is
+        # percent-encoded TWICE when escapes are present (hive %XX escaping
+        # at write, then URI encoding of '%'/space) — decode twice.  Both
+        # encodings are %XX ONLY; url_decode additionally maps '+' to space
+        # (form-encoding, which neither writes), so literal '+' is
+        # pre-escaped to %2B each pass and decodes back to itself (round-2
+        # ADVICE: 'a+b:c' read back as 'a b:c').
         pat = f".*/{re.escape(self.partition_col)}=([^/]+)/"
         raw = F.regexp_extract(F.col("_metadata.file_path"), pat, 1)
-        val = F.when(raw.contains("%"), F.url_decode(raw)).otherwise(raw)
+
+        def _decode_pct(col):
+            return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+        val = F.when(
+            raw.contains("%"), _decode_pct(_decode_pct(raw))
+        ).otherwise(raw)
         return df.withColumn(self.partition_col, val)
 
     def write(

@@ -146,3 +146,36 @@ def test_time_travel_and_append(spark, df, tmp_path):
     assert t.read(spark, partitions=["a"]).count() == 2
     assert t.read(spark, partitions=["a"], snapshot_id=s2.snapshot_id).count() == 1
     assert s3.partitions["a"] == 2
+
+
+def test_hive_escaped_partition_values_roundtrip(spark, tmp_path):
+    """Values with hive-escaped chars AND literal '+' read back exactly
+    (round-2 ADVICE: url_decode turned 'a+b:c' into 'a b:c')."""
+    vals = ["a+b:c", "x y%z", "plain", "p+q"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"part": vals, "v": range(len(vals))})
+    )
+    t = PartitionedTable(str(tmp_path), "esc", "part")
+    t.write(df, mode="overwrite")
+    got = {r["part"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {v: i for i, v in enumerate(vals)}
+    # pruned read of an escaped value resolves through the manifest too
+    assert t.read(spark, partitions=["a+b:c"]).count() == 1
+
+
+def test_explicit_schema_read(spark, tmp_path):
+    """schema= enforces the user-supplied read schema (reference
+    fileops.py:85-101): wider columns read as typed NULL, projection is
+    fixed regardless of footer contents."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"grp": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    t = PartitionedTable(str(tmp_path), "sch", "grp")
+    t.write(df, mode="overwrite")
+    out = t.read(spark, schema="v double, extra bigint")
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "v:double", "extra:bigint", "grp:string"
+    ]
+    rows = out.orderBy("v").collect()
+    assert [r["extra"] for r in rows] == [None, None]
+    assert [r["grp"] for r in rows] == ["a", "b"]
