@@ -114,3 +114,44 @@ def test_ivf_topk_shape_and_exactness_within_probed_cells(spark, vectors):
 
     with pytest.raises(ValueError, match="no centroids"):
         ivf_topk(vectors, F.lit(False), q_pred)
+
+
+def test_zero_norm_vectors_dont_break_topk_parity(spark, vectors):
+    """A zero-norm embedding yields NaN cosine (0/0): Spark's desc order
+    would rank NaN first while the pandas pre-reduce drops it last — both
+    paths must drop non-finite scores and stay identical (round-2 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    zero = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [9999], "embedding": [[0.0] * 16]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    corpus = vectors.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).unionByName(zero)
+    q = corpus.where(corpus.vec_id % 60 == 0).selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    base = cosine_topk(corpus, q, k=4, pre_reduce=False).toPandas()
+    fast = cosine_topk(corpus.repartition(13), q, k=4, pre_reduce=True).toPandas()
+    key = ["q_id", "rnk"]
+    base = base.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    assert base["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
+    assert not base["cos"].isna().any()
+    assert 9999 not in set(base["neighbor_id"])  # NaN rows dropped
+
+
+def test_ivf_assignment_invariant_to_partitioning(spark, vectors):
+    """The broadcast numpy quantizer must assign identically at any
+    parallelism (sequential-fold scores, no batch-shape-dependent BLAS)."""
+    from feature_store_spark.operators.similarity import ivf_topk
+
+    q_pred = vectors.vec_id % 60 == 0
+    c_pred = vectors.vec_id % 25 == 0
+    a = ivf_topk(vectors.repartition(1), c_pred, q_pred, nprobe=2, k=4).toPandas()
+    b = ivf_topk(vectors.repartition(23), c_pred, q_pred, nprobe=2, k=4).toPandas()
+    key = ["q_id", "rnk"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert (abs(a["cos"] - b["cos"]) < 1e-15).all()
