@@ -39,7 +39,11 @@ SESSION_OUTPUT_DDL = (
 _STATE_DDL = "start_us bigint, last_us bigint, n bigint, idx bigint"
 
 
-def _make_session_fn(gap_us: int, ts_col: str):
+_OUT_COLS = ["image_id", "session_start", "session_end",
+             "n_events", "session_idx"]
+
+
+def _make_session_fn(gap_us: int, ts_col: str, ttl_us: int):
     def close_row(key: str, start_us: int, last_us: int, n: int, idx: int):
         return {
             "image_id": key,
@@ -56,14 +60,23 @@ def _make_session_fn(gap_us: int, ts_col: str):
         if state.hasTimedOut:
             start_us, last_us, n, idx = state.get
             if start_us >= 0:
+                # close the open session; keep a sentinel (start=-1) so
+                # session_idx numbering survives the close — the entity's
+                # NEXT session continues the count, matching the batch
+                # operator's per-entity numbering.
                 closed.append(close_row(entity, start_us, last_us, n, idx))
-            # keep a sentinel (start=-1) so session_idx numbering survives
-            # the close — the entity's NEXT session continues the count,
-            # matching the batch operator's per-entity numbering.  The
-            # sentinel is 4 scalars; evict with a state-TTL policy at
-            # 10^9-entity scale if needed.
-            state.update((-1, last_us, 0, idx + 1))
-            yield pd.DataFrame(closed)
+                state.update((-1, last_us, 0, idx + 1))
+                state.setTimeoutTimestamp(max(
+                    (last_us + gap_us + ttl_us) // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+            else:
+                # sentinel idle past its TTL: EVICT — state stays bounded
+                # by the active-entity set at 10^9 entities, at the cost
+                # of session_idx restarting at 0 if the entity returns
+                # after ttl of silence
+                state.remove()
+            yield pd.DataFrame(closed, columns=_OUT_COLS)
             return
 
         events = pd.concat(list(pdfs))
@@ -103,11 +116,7 @@ def _make_session_fn(gap_us: int, ts_col: str):
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(timeout_ms)
-        yield pd.DataFrame(
-            closed,
-            columns=["image_id", "session_start", "session_end",
-                     "n_events", "session_idx"],
-        )
+        yield pd.DataFrame(closed, columns=_OUT_COLS)
 
     return fn
 
@@ -122,10 +131,16 @@ def sessionize_stream(
     ts_col: str = "event_time",
     available_now: bool = True,
     sink_dir: str | None = None,
+    sentinel_ttl: str | int = "7d",
 ) -> StreamingQuery:
     """Tail ``source_dir`` for parquet event files and emit closed sessions
     (append mode) to ``sink_dir`` (parquet) or an in-memory table named
-    ``sessions`` when ``sink_dir`` is None (tests)."""
+    ``sessions`` when ``sink_dir`` is None (tests).
+
+    ``sentinel_ttl``: how long a CLOSED entity's numbering sentinel
+    survives with no new events before being evicted (event-time).  Keeps
+    state bounded by the recently-active entity set; an entity returning
+    after the TTL restarts its session numbering at 0."""
     gap_us = duration_to_us(gap)
     stream = (
         spark.readStream.schema(schema)
@@ -133,7 +148,7 @@ def sessionize_stream(
         .withWatermark(ts_col, watermark)
         .groupBy("image_id")
         .applyInPandasWithState(
-            _make_session_fn(gap_us, ts_col),
+            _make_session_fn(gap_us, ts_col, duration_to_us(sentinel_ttl)),
             outputStructType=SESSION_OUTPUT_DDL,
             stateStructType=_STATE_DDL,
             outputMode="append",

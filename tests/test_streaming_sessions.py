@@ -126,3 +126,68 @@ def test_streaming_sessions_match_batch_numbering(spark, tmp_path):
     )
     assert got[["image_id", "session_idx", "n_events"]].values.tolist() == \
         want.values.tolist()
+
+
+def test_sentinel_ttl_evicts_closed_entities(spark, tmp_path):
+    """A closed entity's numbering sentinel is evicted after sentinel_ttl
+    of event-time silence (state stays bounded by the active-entity set);
+    if the entity returns AFTER the TTL its numbering restarts at 0,
+    within the TTL it continues (round-2 scale note, now enforced)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ttl")
+    sink = str(tmp_path / "out_ttl")
+
+    def drain(name, rows):
+        write_parquet(pd.DataFrame(rows), str(src / f"{name}.parquet"))
+        q = sessionize_stream(spark, str(src), ckpt, gap="30m",
+                              watermark="10 minutes", schema=EVENTS_DDL,
+                              sink_dir=sink, sentinel_ttl="1h")
+        q.awaitTermination(120)
+
+    # u1's session; u2 is the watermark driver
+    drain("b1", [_ev("u1", 0), _ev("u1", 5), _ev("u2", 0)])
+    # wm -> 590: u1 times out (close idx 0), sentinel set, evict@ 5+30+60=95
+    drain("b2", [_ev("u2", 600)])
+    # wm -> 790 > 95: sentinel evicted
+    drain("b3", [_ev("u2", 800)])
+    # u1 returns after the TTL -> numbering restarts at 0
+    drain("b4", [_ev("u1", 900)])
+    # wm far ahead: u1's new session closes -> emitted with idx 0 again
+    drain("b5", [_ev("u2", 2000)])
+
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .query("image_id == 'u1'")
+        .sort_values("session_start").reset_index(drop=True)
+    )
+    assert got["session_idx"].tolist() == [0, 0]  # reset after eviction
+    assert got["n_events"].tolist() == [2, 1]
+
+
+def test_sentinel_continues_numbering_within_ttl(spark, tmp_path):
+    """Within the TTL the sentinel keeps per-entity numbering continuous
+    across a timeout close (the batch-parity contract)."""
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ttl2")
+    sink = str(tmp_path / "out_ttl2")
+
+    def drain(name, rows):
+        write_parquet(pd.DataFrame(rows), str(src / f"{name}.parquet"))
+        q = sessionize_stream(spark, str(src), ckpt, gap="30m",
+                              watermark="10 minutes", schema=EVENTS_DDL,
+                              sink_dir=sink, sentinel_ttl="100d")
+        q.awaitTermination(120)
+
+    drain("b1", [_ev("u1", 0), _ev("u1", 5), _ev("u2", 0)])
+    drain("b2", [_ev("u2", 600)])     # closes u1 idx 0 via timeout
+    drain("b3", [_ev("u1", 700)])     # within TTL -> continues as idx 1
+    drain("b4", [_ev("u2", 2000)])    # closes u1 idx 1
+
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .query("image_id == 'u1'")
+        .sort_values("session_start").reset_index(drop=True)
+    )
+    assert got["session_idx"].tolist() == [0, 1]
