@@ -126,3 +126,32 @@ def test_stage_retry_then_success():
 
     with pytest.raises(RuntimeError, match="always"):
         run_with_retry(always_fails, retries=2, backoff_sec=0)
+
+
+def test_yaml_cli_front_door(spark, config, tmp_path):
+    """`python main.py --config config.yaml` parity: the YAML round-trips
+    into the same dict the orchestrator takes, and main() drives run_all
+    end-to-end (reference main.py:42-61)."""
+    import yaml
+
+    import main as cli
+
+    out = str(tmp_path / "cli_out")
+    cfg = {**config, "output_path": out}
+    path = str(tmp_path / "config.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    assert cli.load_config(path) == cfg
+
+    rc = cli.main(["--config", path])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "training_features.parquet"))
+    assert os.path.exists(os.path.join(out, "infer_features.parquet"))
+    served = pd.read_parquet(os.path.join(out, "infer_features.parquet"))
+    assert list(served["image_id"]) == cfg["infer_keys"]
+
+    with pytest.raises(ValueError, match="missing required key"):
+        bad = str(tmp_path / "bad.yaml")
+        with open(bad, "w") as f:
+            yaml.safe_dump({"output_path": out}, f)
+        cli.load_config(bad)
