@@ -61,6 +61,10 @@ N_SKEW_EVENTS = 2_000_000
 N_SKEW_OBS = 200_000
 N_SKEW_ENTITIES = 5_000
 
+# measurement mode for the image pipeline figure; deltas vs a prior
+# record are suppressed unless the mode AND dataset size match
+BENCH_MODE = "warm_min2"
+
 
 def ensure_image_bench_data(spark) -> tuple[str, str]:
     """Generate-once (deterministic, executor-parallel) images + obs."""
@@ -241,17 +245,33 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     prev_name, prev = previous_bench()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def comparable(q: str) -> bool:
+        """Suppress deltas when the prior record measured a different
+        dataset size or mode — a -7s 'improvement' that is really a
+        definition change is worse than no delta (round-2 ADVICE)."""
+        if q == "image_feature_pipeline":
+            # r02 measured warm_min2 before the key existed; r01 (cold,
+            # 30k images) is excluded by the image-count check
+            return (prev.get("n_bench_images") == N_BENCH_IMAGES
+                    and prev.get("bench_mode", "warm_min2") == BENCH_MODE)
+        if q.startswith("asof_skew"):
+            return prev.get("skew_asof", {}).get("n_events") == N_SKEW_EVENTS
+        return prev.get("sf") == sf
+
     deltas = {
         q: round(times[q] - prev["queries"][q], 3)
         for q in times
-        if q in prev.get("queries", {})
+        if q in prev.get("queries", {}) and comparable(q)
     }
     out = {
         "metric": "headline query wall-clock (noop sink) + image feature materialization",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
+        "bench_mode": BENCH_MODE,
         "feature_rows_per_sec": round(N_BENCH_OBS / img_sec, 1),
         "feature_rows_per_sec_cold": round(N_BENCH_OBS / cold, 1),
         "n_bench_images": N_BENCH_IMAGES,
