@@ -53,10 +53,16 @@ def _partial_topk(scored: DataFrame, k: int, q_id_col: str) -> DataFrame:
     """
 
     def reduce_batches(batches):
+        import numpy as np
         import pandas as pd
 
         best = None
         for pdf in batches:
+            # non-finite scores (zero-norm → NULL/NaN cosine) are dropped
+            # HERE, not with a Spark-side filter on the computed column —
+            # Project+Filter collapse would evaluate the expensive dot
+            # expression twice per row (measured 2× on cosine_topk)
+            pdf = pdf[np.isfinite(pdf["cos"].to_numpy(dtype="float64"))]
             cur = pdf if best is None else pd.concat((best, pdf))
             cur = cur.sort_values(
                 [q_id_col, "cos", "neighbor_id"],
@@ -94,17 +100,21 @@ def cosine_topk(
     (map-side scoring), per-partition top-k pre-reduce, then the global
     rank over at most k × partitions rows per query."""
     j = corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col))
-    # NaN cosines (zero-norm vector → 0/0) are dropped BEFORE ranking:
-    # Spark's desc order ranks NaN as the largest double while pandas'
-    # sort places it last, so an unfiltered NaN would make the pre-reduce
-    # and pure-window paths diverge (round-2 ADVICE).
+    # Non-finite cosines (zero-norm vector → NULL/NaN) are dropped BEFORE
+    # ranking: Spark's desc order ranks NaN as the largest double while
+    # pandas' sort places it last, so an unfiltered NaN would make the
+    # pre-reduce and pure-window paths diverge (round-2 ADVICE).  The
+    # pre-reduce drops them inside the Arrow kernel (free); only the
+    # debug/no-pre-reduce path pays a Spark-side filter.
     scored = j.select(
         q_id_col,
         F.col(id_col).alias("neighbor_id"),
         cosine_expr(q_vec_col, vec_col).alias("cos"),
-    ).where(~F.isnan("cos"))
+    )
     if pre_reduce:
         scored = _partial_topk(scored, k, q_id_col)
+    else:
+        scored = scored.where(~F.isnan("cos"))
     return _exact_topk(scored, k, q_id_col)
 
 
@@ -253,7 +263,8 @@ def ivf_topk(
     scored = j.select(
         "q_id", F.col(id_col).alias("neighbor_id"),
         cosine_expr("q_emb", vec_col).alias("cos"),
-    ).where(~F.isnan("cos"))
+    )
+    # non-finite scores dropped inside the pre-reduce kernel
     return _exact_topk(_partial_topk(scored, k, "q_id"), k, "q_id")
 
 
@@ -280,5 +291,6 @@ def ann_lsh_topk(
     scored = j.select(
         "q_id", F.col(id_col).alias("neighbor_id"),
         cosine_expr("q_emb", vec_col).alias("cos"), "bucket",
-    ).where(~F.isnan("cos"))
+    )
+    # non-finite scores dropped inside the pre-reduce kernel
     return _exact_topk(_partial_topk(scored, k, "q_id"), k, "q_id")
