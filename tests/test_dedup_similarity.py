@@ -155,3 +155,34 @@ def test_ivf_assignment_invariant_to_partitioning(spark, vectors):
     b = b.sort_values(key).reset_index(drop=True)
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert (abs(a["cos"] - b["cos"]) < 1e-15).all()
+
+
+def test_ivf_plan_size_constant_at_production_k_dim(spark):
+    """The quantizer is broadcast, not inlined: at K=400 centroids x
+    dim=128 the analyzed plan must stay O(1) size (the round-2 literal
+    embedding produced K x dim double literals and blew past JVM codegen
+    limits) and the query must actually execute."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from feature_store_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    n, dim = 2000, 128
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [rng.standard_normal(dim).astype("float32").tolist()
+                      for _ in range(n)],
+    })
+    corpus = spark.createDataFrame(pdf)
+    out = ivf_topk(
+        corpus,
+        centroid_pred=F.col("vec_id") % 5 == 0,   # 400 centroids
+        query_pred=F.col("vec_id") % 500 == 0,    # 4 queries
+        nprobe=2, k=3,
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000, len(plan)  # literal design was ~1.5MB+
+    got = out.toPandas()
+    assert set(got["q_id"]) == {0, 500, 1000, 1500}
+    assert (got.groupby("q_id").size() == 3).all()
