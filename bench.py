@@ -219,12 +219,19 @@ def main() -> None:
     release_sliced_caches()
     spark.catalog.clearCache()
 
+    # min-of-2 passes per headline query: single-pass wall on a shared
+    # host varies ±40% run-to-run (measured); min-of-N estimates the same
+    # steady-state quantity with far less noise
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        _noop(fn(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-        release_sliced_caches()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _noop(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            release_sliced_caches()
+        times[name] = round(best, 3)
 
     # image materialization: cold pass (includes Arrow worker spin-up),
     # then steady-state = min of 2 warm passes
