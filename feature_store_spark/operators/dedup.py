@@ -36,29 +36,30 @@ def exact_fingerprints(
     )
 
 
-def shingles_expr(toks_col: str, n: int = 3) -> str:
-    """SparkSQL expr producing the n-word shingle array of a PRE-SPLIT
-    token-array column (``F.split(text, ' ')`` projected first).
+def shingle_array(text_col: str, n: int = 3) -> "F.Column":
+    """n-word shingle array of ``text_col`` as ``zip_with`` over ``n``
+    shifted slices of the token array.
 
-    Do NOT inline ``split(text, ' ')`` here: referencing it inside the
-    transform lambda re-evaluates the split per shingle element —
-    O(doc_len × shingles) work per document, measured 9× slower on the
-    sf0.1 documents table (4.3 s → 0.5 s for the exploded groupBy)."""
-    parts = ", ".join(f"{toks_col}[i+{k}]" for k in range(n))
-    return (
-        f"transform(sequence(0, size({toks_col}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))"
-    )
+    NOT a ``transform(sequence(...), i -> toks[i+k])`` lambda: indexing a
+    non-attribute array inside a lambda re-evaluates the producing
+    expression (the split) once per element per reference — O(doc_len ×
+    shingles) work per document, measured 9× slower on the sf0.1
+    documents table — and Project collapse re-inlines the split even when
+    it was projected as its own column first.  ``zip_with``/``slice``
+    evaluate each operand once per ROW (n+1 splits total), which is
+    O(doc_len) regardless of what the optimizer inlines.
 
-
-def with_shingles(
-    df: DataFrame, text_col: str, out_col: str, n: int = 3
-) -> DataFrame:
-    """Project the n-word shingle array of ``text_col`` as ``out_col``
-    (tokens split exactly once — see :func:`shingles_expr`)."""
-    return df.withColumn("__toks", F.split(F.col(text_col), " ")).withColumn(
-        out_col, F.expr(shingles_expr("__toks", n))
-    ).drop("__toks")
+    Documents with fewer than ``n`` tokens yield an empty array (matching
+    the SQL oracles' ``generate_series`` behavior)."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
 
 
 def minhash_signatures(
@@ -77,8 +78,9 @@ def minhash_signatures(
     information — same results, ~num_hashes× the rows hashed and moved
     (round-2 rework; values identical to the row-per-hash form).
     """
-    ex = with_shingles(df, text_col, "__sh", shingle_n).select(
-        F.col(id_col), F.explode("__sh").alias("s")
+    ex = df.select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, shingle_n)).alias("s"),
     )
     aggs = [
         F.min(
@@ -219,9 +221,9 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs — the verification
     kernel that LSH candidates feed (never run all-pairs)."""
-    sh = with_shingles(docs, text_col, "__sh_all", shingle_n).select(
+    sh = docs.select(
         F.col(id_col),
-        F.array_distinct(F.col("__sh_all")).alias("__sh"),
+        F.array_distinct(shingle_array(text_col, shingle_n)).alias("__sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, id_a)

@@ -168,12 +168,19 @@ def q_winnow_fingerprint(spark, sf):
     # expression into the per-position lambda would re-hash the whole doc
     # once per window position (O(n^2) md5 calls per document)
     d = d.select("doc_id", F.expr(hashes).alias("__hashes"))
-    wins = (
-        f"transform(sequence(1, greatest(size(__hashes) - {_WINNOW_W} + 1, 1)),"
-        f" i -> array_min(slice(__hashes, i, {_WINNOW_W})))"
-    )
+    # window min as elementwise least() of W shifted slices — zip_with
+    # evaluates each slice once per ROW, vs the transform(sequence, i ->
+    # array_min(slice(...))) lambda re-slicing per window position
+    # (measured 1.4× on sf0.1; least() skips the nulls zip_with pads short
+    # tail slices with, matching array_min over a short window)
+    h = F.col("__hashes")
+    cnt = F.greatest(F.size(h) - F.lit(_WINNOW_W - 1), F.lit(1))
+    wins = F.slice(h, 1, cnt)
+    for k in range(1, _WINNOW_W):
+        wins = F.zip_with(wins, F.slice(h, k + 1, cnt),
+                          lambda a, b: F.least(a, b))
     return (
-        d.select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("fp"))
+        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fingerprints"),
