@@ -184,30 +184,31 @@ def simhash(
     bits: int = 16,
 ) -> DataFrame:
     """Per-document SimHash: per-token 60-bit hash, majority vote per bit.
-    Pure explode + groupBy — a shuffle of (rows × bits) small tuples."""
+
+    Scale shape: ONE groupBy over token rows with all ``bits`` votes as
+    parallel sum aggregates (map-side partial combine), then the hash is
+    assembled from the vote signs in a single projection.  The obvious
+    explode over bit positions multiplies the shuffled row volume by
+    ``bits`` (16×) for no information — same results."""
     ex = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
     hashed = ex.select(id_col, h60(F.col("tok")).alias("h"))
-    votes = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        id_col,
-        "bit",
-        F.expr(
-            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
-        ).alias("vote"),
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                   "THEN 1 ELSE -1 END")
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    val = sum(
+        (
+            F.when(F.col(f"__v{b}") > 0,
+                   F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ),
+        F.lit(0).cast("long"),
     )
-    agg = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return (
-        agg.withColumn(
-            "bitval",
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), "
-                   "CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    return agg.select(id_col, val.cast("long").alias("simhash"))
 
 
 def ngram_jaccard(
