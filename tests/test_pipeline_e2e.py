@@ -414,3 +414,80 @@ def test_crash_between_feature_and_state_commit_recovers(spark, setup, tmp_path)
     assert done == parts
     assert update_feature_table(spark, img5, feats_t, state_t, flin) == []
     assert read_state_asof(spark, state_t) is not None
+
+
+def test_random_mutation_sequence_equals_batch(spark, tmp_path):
+    """Property: after ANY sequence of appends/backfills, the incremental
+    feature table equals the batch computation over the current history.
+    Exercises decode content-addressing, window-chain recompute scope,
+    and delta/snapshot state resolution together (the round-3 rework's
+    riskiest interactions) on a seeded random mutation schedule."""
+    import random
+
+    from feature_store_spark.pipeline.materialize import (
+        feature_lineage_for,
+        update_feature_table,
+    )
+
+    rng = random.Random(7)
+    img_pdf = generate_images(n_rows=300, n_entities=12, seed=21)
+    img_pdf["event_date"] = img_pdf["event_time"].dt.strftime("%Y-%m-%d")
+    dates = sorted(img_pdf["event_date"].unique())
+    base = str(tmp_path)
+    img_t = PartitionedTable(base, "images", "event_date")
+    feats_t = PartitionedTable(base, "features", "event_date")
+    state_t = PartitionedTable(base, "state", "event_date")
+    flin = feature_lineage_for(feats_t)
+
+    # start with the first half of the history
+    split = len(dates) // 2
+    live = img_pdf[img_pdf.event_date.isin(dates[:split])]
+    img_t.write(spark.createDataFrame(live), mode="overwrite")
+    update_feature_table(spark, img_t, feats_t, state_t, flin,
+                         state_snapshot_every=2)
+
+    current = {d: img_pdf[img_pdf.event_date == d] for d in dates[:split]}
+    pending = list(dates[split:])
+    for step in range(4):
+        if pending and (step % 2 == 0 or len(current) < 2):
+            d = pending.pop(0)            # append a new day
+            current[d] = img_pdf[img_pdf.event_date == d]
+        else:                             # backfill a random existing day
+            d = rng.choice(sorted(current))
+            sub = current[d]
+            current[d] = sub.sample(
+                n=max(len(sub) - 2, 1), random_state=step
+            ).sort_index()
+        img_t.write(spark.createDataFrame(current[d]),
+                    mode="overwrite_partitions")
+        update_feature_table(spark, img_t, feats_t, state_t, flin,
+                             state_snapshot_every=2)
+
+        hist = pd.concat([current[d] for d in sorted(current)])
+        want = (
+            compute_features(
+                spark.createDataFrame(hist.drop(columns=["event_date"])))
+            .toPandas()
+            .sort_values(["image_id", "event_time", "phash"], kind="stable")
+            .reset_index(drop=True)
+        )
+        got = (
+            feats_t.read(spark, partitions=sorted(current)).drop("event_date")
+            .toPandas()
+            .sort_values(["image_id", "event_time", "phash"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) == len(hist), f"step {step}"
+        for c in ["image_id", "session_id"]:
+            assert got[c].tolist() == want[c].tolist(), (step, c)
+        for c in ["phash", "lag_phash", "roll_cnt_1d"]:
+            assert (
+                got[c].fillna(-1).astype("float64").to_numpy()
+                == want[c].fillna(-1).astype("float64").to_numpy()
+            ).all(), (step, c)
+        assert np.allclose(
+            got["roll_mean_r_1d"].to_numpy(float),
+            want["roll_mean_r_1d"].to_numpy(float), equal_nan=True,
+        ), step
+        # stale partitions beyond the feature table's mapping never linger
+        assert set(feats_t.partitions()) == set(current)
