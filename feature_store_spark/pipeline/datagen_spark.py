@@ -168,3 +168,31 @@ def synth_observations(
         ts.alias("obs_time"),
         F.col("id").alias("obs_id"),
     )
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_rows: int,
+    n_words: int = 40,
+    cluster: int = 5,
+    seed: str = "7",
+) -> DataFrame:
+    """Deterministic documents table generated ON EXECUTORS (content-
+    addressed by (seed, doc_id)): each size-``cluster`` block of ids
+    shares ``n_words - 2`` md5-derived words plus 2 per-doc salt words —
+    clusters of near-duplicates, so MinHash/LSH benches exercise real
+    candidate buckets, not hash noise."""
+    body = (
+        f"transform(sequence(1, {n_words - 2}), "
+        f"i -> substring(md5(concat('{seed}_', "
+        f"CAST(id - id % {cluster} AS STRING), '_', CAST(i AS STRING))), "
+        f"1, 6))"
+    )
+    salt = (
+        f"array(substring(md5(concat('{seed}s1_', CAST(id AS STRING))), 1, 6), "
+        f"substring(md5(concat('{seed}s2_', CAST(id AS STRING))), 1, 6))"
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"concat_ws(' ', concat({body}, {salt}))").alias("text"),
+    )

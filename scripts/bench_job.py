@@ -118,6 +118,57 @@ def main() -> None:
         out["asof_sec"] = round(dt1, 2)
         out["asof_rows_per_sec"] = round(n_obs / dt1, 1)
 
+    # ---- phase 3: dedup stack (minhash → LSH candidate pairs) ---------
+    if phase in ("all", "dedup"):
+        from feature_store_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from feature_store_spark.pipeline.datagen_spark import synth_documents
+
+        # big enough that the hash/shingle CPU dominates the fixed ~2 s
+        # shuffle-stage latency (at 200k docs the 32-core wall was 3.5 s
+        # and the measurement was latency-bound, not capacity-bound)
+        n_docs = 1_000_000
+        docs_path = os.path.join(data_root, f"docs_{n_docs}.parquet")
+        if not os.path.exists(docs_path):
+            synth_documents(spark, n_docs) \
+                .repartition(max(cores * 4, 32)) \
+                .write.mode("overwrite").parquet(docs_path)
+
+        def build_dedup():
+            docs = spark.read.parquet(docs_path)
+            sig = minhash_signatures(docs, num_hashes=4)
+            return lsh_candidate_pairs(sig, num_hashes=4, band_size=2,
+                                       max_bucket_size=64)
+
+        build_dedup().write.format("noop").mode("overwrite").save()  # warm
+        dt3 = float("inf")
+        for _ in range(passes):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            build_dedup().write.format("noop").mode("overwrite").save()
+            dt3 = min(dt3, time.time() - t0)
+        out["n_docs"] = n_docs
+        out["dedup_sec"] = round(dt3, 2)
+        out["dedup_docs_per_sec"] = round(n_docs / dt3, 1)
+
+        # minhash stage alone: the CPU-bound part (shingle explode + md5
+        # mins, one groupBy with map-side combine) — separates hash
+        # capacity from the LSH tail's fixed shuffle-stage latency
+        def build_minhash():
+            return minhash_signatures(
+                spark.read.parquet(docs_path), num_hashes=4
+            )
+
+        dt4 = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            build_minhash().write.format("noop").mode("overwrite").save()
+            dt4 = min(dt4, time.time() - t0)
+        out["minhash_sec"] = round(dt4, 2)
+        out["minhash_docs_per_sec"] = round(n_docs / dt4, 1)
+
     # ---- phase 2: image feature materialization (decode-heavy) --------
     if phase not in ("all", "image"):
         print("BENCHJSON " + json.dumps(out))

@@ -22,7 +22,7 @@ spark-submit --master 'local[32]' --py-files /tmp/engine.zip \
   --conf spark.ui.enabled=false --driver-memory 8g \
   scripts/bench_job.py "$ROOT" $NF $NO $NI $NIO none 1 >/dev/null 2>&1 || true
 
-for phase in asof image; do
+for phase in asof image dedup; do
   for cores in 8 32; do
     echo "== phase=$phase cores=$cores =="
     run $cores $phase | tee "BENCH/raw_${phase}_${cores}.json"
