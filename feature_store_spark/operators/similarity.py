@@ -38,6 +38,16 @@ def cosine_expr(a: str, b: str):
     )
 
 
+def eval_once(col: "F.Column") -> "F.Column":
+    """Wrap an expensive expression so a downstream filter on its alias
+    doesn't re-evaluate it: ``explode(array(col))`` puts a Generate node
+    between the projection and the filter, which Project+Filter collapse
+    cannot cross (collapse otherwise inlines the expression into the
+    predicate AND the output — measured 1.7× on the bucketed pairwise
+    cosine, 2× on cosine_topk).  Emits exactly one row per input row."""
+    return F.explode(F.array(col))
+
+
 def _partial_topk(scored: DataFrame, k: int, q_id_col: str) -> DataFrame:
     """Map-side per-partition top-k pre-reduce (Arrow-batched, exact).
 

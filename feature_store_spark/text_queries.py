@@ -448,11 +448,15 @@ def q_embedding_near_dup(spark, sf):
         / F.sqrt(_dot("a.embedding", "a.embedding"))
         / F.sqrt(_dot("b.embedding", "b.embedding"))
     )
+    from feature_store_spark.operators.similarity import eval_once
+
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
+            # eval_once: without the Generate barrier the threshold filter
+            # re-evaluates the 64-dim dot products per pair (measured 1.7×)
+            eval_once(cos).alias("cos"),
         )
         .where(F.col("cos") >= _NEAR_DUP_COS)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
