@@ -49,6 +49,8 @@ HEADLINE = [
     "lsh_pairs",
     "simhash",
     "cosine_topk",
+    "embedding_near_dup",
+    "winnow_fingerprint",
 ]
 
 # 150k rows: large enough that decode throughput dominates the fixed
