@@ -235,3 +235,110 @@ def ngram_jaccard(
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size(F.array_union("__sa", "__sb"))
     return out.select(id_a, id_b, (inter / union).alias("jaccard"))
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    node appearing in any edge: ``(node, component)`` with component = the
+    minimum node id in the component (deterministic at any parallelism —
+    min is commutative).
+
+    Algorithm: min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    ``graph diameter`` rounds.  Near-duplicate clusters (the intended
+    input: LSH candidate pairs) are dense, so diameter is tiny (≲3); for
+    adversarially long path graphs at extreme scale, swap in the
+    alternating large-star/small-star rounds (Kiveris et al., SoCC'14) —
+    same per-round DataFrame shape, O(log²) rounds.
+
+    Scale notes: one action per round (the convergence count) and an
+    eager ``localCheckpoint`` per round so the plan stays O(1) deep
+    instead of growing with iterations; the symmetrized edge list is
+    persisted once and reused every round.
+    """
+    sym = edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
+    sym = sym.unionByName(
+        sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct().persist()
+    lbl = (
+        sym.select("node").distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nb = (
+                sym.join(
+                    lbl.select(
+                        F.col("node").alias("nbr"),
+                        F.col("label").alias("nbr_label"),
+                    ),
+                    on="nbr",
+                )
+                .groupBy("node")
+                .agg(F.min("nbr_label").alias("min_nbr"))
+            )
+            new = (
+                lbl.join(nb, on="node", how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("min_nbr", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.withColumnRenamed("label", "new_label")
+                .join(lbl, on="node")
+                .where(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            lbl = new if changed else lbl
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds (graph diameter exceeds it) — "
+                "raise max_iterations or use star-contraction rounds"
+            )
+    finally:
+        sym.unpersist()
+    return lbl.select("node", F.col("label").alias("component"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+) -> DataFrame:
+    """Near-duplicate clusters from candidate pairs: every document gets a
+    ``cluster_id`` (min doc id of its component; singletons cluster with
+    themselves), the cluster's size, and whether it is the canonical
+    (minimum-id) member — the keep/drop decision of a dedup pass."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return out.join(sizes, on="cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

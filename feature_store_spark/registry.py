@@ -62,6 +62,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup family
     "minhash_signatures": (tq.q_minhash_signatures, tq.SQL_MINHASH),
     "lsh_pairs": (tq.q_lsh_pairs, tq.SQL_LSH_PAIRS),
+    "dup_clusters": (tq.q_dup_clusters, tq.SQL_DUP_CLUSTERS),
     "lsh_pairs_capped": (tq.q_lsh_pairs_capped, tq.SQL_LSH_PAIRS_CAPPED),
     "simhash": (tq.q_simhash, tq.SQL_SIMHASH),
     "ngram_jaccard": (tq.q_ngram_jaccard, tq.SQL_NGRAM_JACCARD),

@@ -279,6 +279,44 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
+def q_dup_clusters(spark, sf):
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate pairs (min-label propagation, converges in graph-diameter
+    rounds), every document labeled with its cluster id (component min),
+    the cluster size, and the canonical flag — the keep/drop decision of
+    a corpus dedup pass."""
+    from feature_store_spark.operators.dedup import dup_clusters
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    pairs = q_lsh_pairs(spark, sf)
+    return dup_clusters(
+        docs, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
+    ).select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_LSH_PAIRS}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a),
+asg AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM asg GROUP BY cluster_id)
+SELECT asg.doc_id, asg.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
+       asg.doc_id = asg.cluster_id AS is_canonical
+FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
+"""
+
+
 _LSH_CAP = 3  # hot-bucket cap for the capped gate query
 
 

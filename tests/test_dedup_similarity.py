@@ -186,3 +186,65 @@ def test_ivf_plan_size_constant_at_production_k_dim(spark):
     got = out.toPandas()
     assert set(got["q_id"]) == {0, 500, 1000, 1500}
     assert (got.groupby("q_id").size() == 3).all()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation equals a brute-force union-find on a seeded
+    random graph (isolated nodes, chains, and dense blobs), at any input
+    partitioning."""
+    import random
+
+    from feature_store_spark.operators.dedup import (
+        connected_components,
+        dup_clusters,
+    )
+
+    rng = random.Random(11)
+    n = 400
+    edges = []
+    for blob in range(8):  # dense blobs
+        members = rng.sample(range(n), 12)
+        edges += [tuple(sorted(rng.sample(members, 2))) for _ in range(20)]
+    chain = rng.sample(range(n), 30)  # one long path (diameter stress)
+    edges += list(zip(chain, chain[1:]))
+    edges = sorted({(a, b) for a, b in edges if a != b})
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n)}
+    # union-find roots are not guaranteed minimal; normalize per component
+    comp_min: dict[int, int] = {}
+    for x in range(n):
+        r = want[x]
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[want[x]] for x in range(n)}
+
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_id_a", "doc_id_b"])
+    ).repartition(13)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e).collect()
+    }
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {x: want[x] for x in touched}
+
+    # dup_clusters: singletons self-cluster, sizes add up, one canonical
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    dc = dup_clusters(docs, e).toPandas()
+    assert len(dc) == n
+    assert (dc.groupby("cluster_id")["cluster_size"].nunique() == 1).all()
+    assert dc["cluster_size"].sum() == (dc.groupby("cluster_id")["cluster_size"]
+                                        .first() ** 2).sum()
+    assert dc.groupby("cluster_id")["is_canonical"].sum().eq(1).all()
+    singles = dc[~dc["doc_id"].isin(touched)]
+    assert (singles["cluster_id"] == singles["doc_id"]).all()
+    assert (singles["cluster_size"] == 1).all()
