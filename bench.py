@@ -51,6 +51,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dup",
     "winnow_fingerprint",
+    "dup_clusters",
 ]
 
 # 150k rows: large enough that decode throughput dominates the fixed
