@@ -344,6 +344,8 @@ def update_feature_table(
             features_table, images_table.partition_col
         )
     img_parts = sorted(snap.mapping)
+    if not img_parts:  # committed-but-empty snapshot: nothing to do
+        return []
 
     # -- stage A: decode changed partitions only -------------------------
     dec_info = (
