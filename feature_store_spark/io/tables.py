@@ -224,9 +224,14 @@ class PartitionedTable:
         vdir = os.path.join(self.data_path, f"v{seq:04d}")
         df.write.partitionBy(self.partition_col).mode("overwrite").parquet(vdir)
 
-        # count ONLY the new version dir (commit cost ∝ rows written)
+        # count ONLY the new version dir (commit cost ∝ rows written);
+        # explicit schema so an all-empty write (zero rows → no parquet
+        # files, just _SUCCESS) commits an empty snapshot instead of
+        # failing schema inference
         spark = df.sparkSession
-        written = spark.read.option("basePath", vdir).parquet(vdir)
+        written = spark.read.schema(df.schema).option(
+            "basePath", vdir
+        ).parquet(vdir)
         counted = written.groupBy(self.partition_col).count().collect()
         if any(r[0] is None for r in counted):
             raise ValueError(

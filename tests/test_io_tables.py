@@ -179,3 +179,20 @@ def test_explicit_schema_read(spark, tmp_path):
     rows = out.orderBy("v").collect()
     assert [r["extra"] for r in rows] == [None, None]
     assert [r["grp"] for r in rows] == ["a", "b"]
+
+
+def test_empty_write_commits_empty_snapshot(spark, tmp_path):
+    """Zero-row writes commit an empty snapshot (no parquet files on disk,
+    just _SUCCESS) instead of failing read-back schema inference — a
+    no-new-data pipeline run must be a no-op, not a crash."""
+    t = PartitionedTable(str(tmp_path), "t", "grp")
+    empty = spark.createDataFrame([], "k bigint, grp string, v double")
+    snap = t.write(empty, mode="overwrite")
+    assert snap.partitions == {}
+    assert t.partitions() == []
+    # a later real write proceeds normally
+    t.write(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "grp": ["a"], "v": [1.0]})),
+        mode="overwrite_partitions",
+    )
+    assert t.read(spark).count() == 1
