@@ -14,7 +14,17 @@ the rows written, not the table size.  This is the Iceberg model (SURVEY.md
 one module, so swapping in ``df.writeTo(...)`` is local.
 
 Layout:  <root>/<table>/data/v{seq}/<partition_col>=<value>/*.parquet
-         <root>/<table>/_manifest.json   (ordered snapshot log)
+         <root>/<table>/_manifest.jsonl  (append-only snapshot log)
+         <root>/<table>/_manifest.json   (legacy array-format log prefix)
+
+The snapshot log is APPEND-ONLY JSONL — one line per commit, O(rows
+written) commit cost on the metadata side too.  Round 3 rewrote the whole
+JSON array every commit, making manifest maintenance O(P²) in commits
+(round-3 ADVICE).  Tables written by older rounds keep their
+``_manifest.json`` as an immutable prefix; new commits only ever append
+lines to the JSONL.  A torn final line (crash mid-append) is ignored on
+read — its version dir was never referenced, and the next commit reuses
+the sequence number and overwrites that dir.
 """
 
 from __future__ import annotations
@@ -64,23 +74,43 @@ class PartitionedTable:
         self.path = os.path.join(root, name)
         self.data_path = os.path.join(self.path, "data")
         self.partition_col = partition_col
-        self._manifest_path = os.path.join(self.path, "_manifest.json")
+        self._legacy_manifest_path = os.path.join(self.path, "_manifest.json")
+        self._manifest_path = os.path.join(self.path, "_manifest.jsonl")
 
     # -- manifest ------------------------------------------------------
     def _read_manifest(self) -> list[dict]:
-        if not os.path.exists(self._manifest_path):
-            return []
-        with open(self._manifest_path) as f:
-            return json.load(f)
+        log: list[dict] = []
+        if os.path.exists(self._legacy_manifest_path):
+            with open(self._legacy_manifest_path) as f:
+                log = json.load(f)
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            for i, ln in enumerate(lines):
+                try:
+                    log.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    if i == len(lines) - 1:
+                        break  # torn final line: crash mid-append, ignore
+                    raise
+        return log
 
     def _append_manifest(self, entry: dict) -> None:
-        log = self._read_manifest()
-        log.append(entry)
         os.makedirs(self.path, exist_ok=True)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        # repair a torn final line (crash mid-append: the json+"\n" write
+        # was cut before the newline) BEFORE appending — once a good line
+        # follows it, read could no longer tell it from corruption.  Its
+        # version dir was never referenced; the reused seq overwrites it.
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path, "r+") as f:
+                data = f.read()
+                if data and not data.endswith("\n"):
+                    f.seek(data.rfind("\n") + 1)
+                    f.truncate()
+        with open(self._manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def _entry_to_snapshot(self, e: dict) -> Snapshot:
         return Snapshot(
@@ -106,14 +136,18 @@ class PartitionedTable:
 
     def partition_info(self) -> dict[str, dict]:
         """Latest write metadata per partition: partition value → the
-        ``meta`` dict of the most recent commit that (re)wrote it.  The
-        incremental feature pipeline keys its cache-validity checks on this
-        (content-addressed by input dirs), mirroring the reference's
+        ``meta`` dict of the most recent commit that (re)wrote it, with
+        the commit's per-partition ``partition_meta`` overlay merged in
+        (a batched commit covering many partitions records shared meta
+        once plus each partition's own, e.g. its input dirs).  The
+        incremental feature pipeline keys its cache-validity checks on
+        this (content-addressed by input dirs), mirroring the reference's
         raw-vs-saved date diff (``feature_preprocessing.py:290-312``)."""
         info: dict[str, dict] = {}
         for e in self._read_manifest():
+            pmeta = e.get("partition_meta", {})
             for p in e.get("touched", []):
-                info[p] = e.get("meta", {})
+                info[p] = {**e.get("meta", {}), **pmeta.get(p, {})}
         return info
 
     # -- IO ------------------------------------------------------------
@@ -204,13 +238,17 @@ class PartitionedTable:
         df: DataFrame,
         mode: str = "overwrite_partitions",
         meta: dict | None = None,
+        partition_meta: dict[str, dict] | None = None,
     ) -> Snapshot:
         """Commit a write as a new snapshot.  ``overwrite_partitions``
         replaces only the partitions present in ``df`` (idempotent re-runs —
         the backfill contract); ``append`` adds files to them; ``overwrite``
         replaces the whole table.  Existing snapshot data is never touched.
         ``meta`` is recorded verbatim in the manifest entry (stream batch
-        ids, input lineage, ...).
+        ids, input lineage, ...); ``partition_meta`` adds a per-partition
+        overlay for batched commits (ONE commit, one Spark write job, may
+        cover many partitions, each content-addressed by its own inputs —
+        see :meth:`partition_info`).
 
         Rows with a NULL partition value reject the whole commit (they land
         in an on-disk ``__HIVE_DEFAULT_PARTITION__`` dir that a manifest
@@ -261,17 +299,24 @@ class PartitionedTable:
         ).hexdigest()[:16]
         snap_id = f"snap-{seq:04d}-{digest}"
         touched = sorted(new_counts)
-        self._append_manifest(
-            {
-                "snapshot_id": snap_id,
-                "parent": prev.snapshot_id if prev else None,
-                "op": mode,
-                "partitions": counts,
-                "mapping": mapping,
-                "meta": meta or {},
-                "touched": touched,
-            }
-        )
+        entry = {
+            "snapshot_id": snap_id,
+            "parent": prev.snapshot_id if prev else None,
+            "op": mode,
+            "partitions": counts,
+            "mapping": mapping,
+            "meta": meta or {},
+            "touched": touched,
+        }
+        if partition_meta:
+            unknown = set(partition_meta) - set(touched)
+            if unknown:
+                raise ValueError(
+                    f"partition_meta for partitions not in this commit: "
+                    f"{sorted(unknown)}"
+                )
+            entry["partition_meta"] = partition_meta
+        self._append_manifest(entry)
         return Snapshot(snap_id, counts, mode, mapping, meta or {}, touched)
 
     # -- incremental bookkeeping (reference X1 semantics) ---------------

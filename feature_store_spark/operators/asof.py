@@ -31,10 +31,16 @@ are included, matching Feathr's inclusive-backward contract.
 from __future__ import annotations
 
 import re
-from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+from feature_store_spark.operators.caches import (
+    _GLOBAL_CACHES as _SLICED_CACHES,  # noqa: F401 — back-compat alias
+    cache_scope as sliced_cache_scope,
+    register_cache as _register_sliced_cache,
+    release_caches as release_sliced_caches,
+)
 
 _TAG = "__asof_tag"
 _TS = "__asof_ts"
@@ -44,57 +50,11 @@ _SLICE = "__asof_slice"
 _DURATION_RE = re.compile(r"^(\d+)\s*(s|m|h|d)$")
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
 
-# Persisted intermediates created by the sliced strategy.  Each cache is
-# registered to the innermost active sliced_cache_scope() (released when
-# that scope exits — AFTER the caller materializes the output) or, outside
-# any scope, to the process-global list released by release_sliced_caches().
-# Without one of the two, a driver loop calling asof_join once per
-# partition accumulates cached RDDs unbounded in a shared session (round-1
-# ADVICE finding); the global-only mechanism in turn leaked on callers
-# that never release and over-released on concurrent callers (round-2
-# ADVICE finding) — scopes fix both.
-_SLICED_CACHES: list[DataFrame] = []
-_SCOPE_STACK: list[list[DataFrame]] = []
-
-
-def _register_sliced_cache(df: DataFrame) -> None:
-    (_SCOPE_STACK[-1] if _SCOPE_STACK else _SLICED_CACHES).append(df)
-
-
-def _unpersist_all(caches: list[DataFrame]) -> int:
-    n = len(caches)
-    for df in caches:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-    caches.clear()
-    return n
-
-
-@contextmanager
-def sliced_cache_scope():
-    """Scope the sliced strategy's persisted intermediates to this block:
-    every sliced asof_join built inside registers here, and everything is
-    unpersisted on exit.  Materialize the join output (write/collect)
-    INSIDE the block — unpersisting first would silently recompute the
-    expensive feature subtree twice (the persist's whole purpose)."""
-    scope: list[DataFrame] = []
-    _SCOPE_STACK.append(scope)
-    try:
-        yield scope
-    finally:
-        _SCOPE_STACK.remove(scope)
-        _unpersist_all(scope)
-
-
-def release_sliced_caches() -> int:
-    """Unpersist every UNSCOPED cached intermediate the sliced strategy has
-    created since the last release.  Call after the join output is
-    materialized (written/collected); returns the number released.
-    Caches created inside a :func:`sliced_cache_scope` are not touched —
-    they belong to their scope."""
-    return _unpersist_all(_SLICED_CACHES)
+# The sliced strategy's persisted intermediates register with the shared
+# operator-cache registry (operators/caches.py) — scoped via
+# sliced_cache_scope (= cache_scope) or released via release_sliced_caches
+# (= release_caches).  The historical names are kept as aliases because
+# every call site and the build notes use them.
 
 
 def duration_to_us(d: str | int | float) -> int:

@@ -237,6 +237,34 @@ def ngram_jaccard(
     return out.select(id_a, id_b, (inter / union).alias("jaccard"))
 
 
+class _LocalCheckpointHandle:
+    """Releasable handle on a ``localCheckpoint``'ed DataFrame's storage.
+
+    ``DataFrame.unpersist()`` only releases cache-manager entries; the
+    blocks behind a local checkpoint belong to the RDD inside the
+    resulting ``LogicalRDD`` plan node, reachable only through the plan.
+    Freeing them truncates recomputability (checkpoint lineage is cut by
+    design), so only unpersist a handle once nothing will evaluate the
+    frame again.  If the plan shape ever stops being a bare LogicalRDD,
+    the handle degrades to a no-op (blocks retained — round-3 behavior)
+    rather than breaking the algorithm.
+    """
+
+    def __init__(self, df: DataFrame):
+        try:
+            self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self._jrdd = None
+
+    def unpersist(self) -> None:
+        if self._jrdd is not None:
+            try:
+                self._jrdd.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+            self._jrdd = None
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "doc_id_a",
@@ -256,11 +284,28 @@ def connected_components(
     alternating large-star/small-star rounds (Kiveris et al., SoCC'14) —
     same per-round DataFrame shape, O(log²) rounds.
 
-    Scale notes: one action per round (the convergence count) and an
-    eager ``localCheckpoint`` per round so the plan stays O(1) deep
-    instead of growing with iterations; the symmetrized edge list is
-    persisted once and reused every round.
+    Scale notes (round-4 rework of both round-3 blemishes): the
+    ``__changed`` flag (label strictly decreased; labels are monotone
+    non-increasing) is computed INSIDE the propagation frame before the
+    eager ``localCheckpoint``, so the convergence check is a filter-count
+    over the just-materialized checkpoint blocks — a fixed-latency local
+    scan, not round 3's second full join-recompute per round (which made
+    driver round-trips the bulk of dup_clusters' wall).  Each superseded
+    round's checkpoint blocks are freed as soon as the next round's are
+    materialized (via the block-holding RDD behind the LogicalRDD plan —
+    ``DataFrame.unpersist`` does not cover checkpoints), so block-manager
+    memory holds ONE label table, not one per round (round-3 ADVICE).
+    ``localCheckpoint`` (not ``persist``) is load-bearing for plan shape:
+    each round references the previous labels twice, so without lineage
+    truncation the logical plan doubles per round.  The FINAL round's
+    handle is registered with the operator-cache registry — release it
+    with ``cache_scope()`` / ``release_caches()`` only AFTER
+    materializing the output; a freed local checkpoint cannot be
+    recomputed (truncated lineage), so reuse-after-release raises.  The
+    symmetrized edge list is persisted once and reused every round.
     """
+    from feature_store_spark.operators.caches import register_cache
+
     sym = edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
     sym = sym.unionByName(
         sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
@@ -268,8 +313,10 @@ def connected_components(
     lbl = (
         sym.select("node").distinct()
         .withColumn("label", F.col("node"))
+        .withColumn("__changed", F.lit(False))
         .localCheckpoint(eager=True)
     )
+    handle = _LocalCheckpointHandle(lbl)
     try:
         for _ in range(max_iterations):
             nb = (
@@ -290,18 +337,22 @@ def connected_components(
                     F.least(
                         F.col("label"), F.coalesce("min_nbr", "label")
                     ).alias("label"),
+                    F.coalesce(
+                        F.col("min_nbr") < F.col("label"), F.lit(False)
+                    ).alias("__changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.withColumnRenamed("label", "new_label")
-                .join(lbl, on="node")
-                .where(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            lbl = new if changed else lbl
+            new_handle = _LocalCheckpointHandle(new)
+            # near-free: a local scan of the blocks the eager checkpoint
+            # job just wrote — no join, no shuffle
+            changed = new.where("__changed").count()
             if changed == 0:
+                new_handle.unpersist()
                 break
+            lbl, old = new, handle
+            handle = new_handle
+            old.unpersist()
         else:
             raise RuntimeError(
                 f"connected_components did not converge in "
@@ -310,6 +361,7 @@ def connected_components(
             )
     finally:
         sym.unpersist()
+    register_cache(handle)
     return lbl.select("node", F.col("label").alias("component"))
 
 

@@ -124,7 +124,12 @@ def cosine_topk(
     if pre_reduce:
         scored = _partial_topk(scored, k, q_id_col)
     else:
-        scored = scored.where(~F.isnan("cos"))
+        # NULL must be dropped explicitly: cosine_expr returns NULL (not
+        # NaN) for a zero-norm side via try_divide, and isnan(NULL) is
+        # false — keeping NULLs here would diverge from the Arrow
+        # pre-reduce path when a query has < k finite neighbors
+        # (round-3 ADVICE)
+        scored = scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
     return _exact_topk(scored, k, q_id_col)
 
 

