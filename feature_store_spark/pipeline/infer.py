@@ -23,12 +23,71 @@ from pyspark.sql import DataFrame
 DEFAULT_KEY = "__default__"  # ≈ the reference's "0#empty" sentinel row
 
 
-class OnlineStore:
-    """Latest-value KV store: one parquet table per feature group."""
+class OnlineSink:
+    """Connector interface for publishing a latest-per-key snapshot.
+
+    One implementation per backend; ``write`` receives the fully-prepared
+    snapshot (key stringified, sentinel row included) and must write it
+    DISTRIBUTED (executor-side, like the reference's spark-redis sink).
+    The reference builds one ``RedisSink(table_name=...)`` per feature
+    group (``materialize_pipeline.py:133-136``); this is that seam,
+    typed, with the parquet KV store as the in-sandbox implementation.
+    """
+
+    def write(self, df: DataFrame, table: str, key: str) -> None:
+        raise NotImplementedError
+
+
+class ParquetKVSink(OnlineSink):
+    """Parquet-backed KV snapshot — the sandbox stand-in for Redis with
+    the same publish semantics (overwrite the feature group's table)."""
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def write(self, df: DataFrame, table: str, key: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+
+def spark_redis_writer_options(table: str, key: str) -> tuple[str, dict]:
+    """(format, options) a spark-redis publish uses — the exact mapping
+    the reference's Feathr ``RedisSink`` resolves to
+    (``materialize_pipeline.py:133-136``; package pinned in
+    ``configs/materialize_pipeline_config.yaml`` as
+    ``com.redislabs:spark-redis_2.12:3.1.0``).  Split out as data so the
+    seam is testable without the package (absent in-sandbox)."""
+    return "org.apache.spark.sql.redis", {"table": table, "key.column": key}
+
+
+class SparkRedisSink(OnlineSink):
+    """spark-redis connector: each feature group becomes a Redis hash set
+    keyed ``<table>:<key-value>``.  Connection settings ride on the
+    SparkSession (``spark.redis.host``/``port``/``auth`` confs — set them
+    at session build, as the reference's config YAML does).  Requires the
+    spark-redis package on the cluster; instantiating is cheap, only
+    ``write`` touches Redis."""
+
+    def write(self, df: DataFrame, table: str, key: str) -> None:
+        fmt, options = spark_redis_writer_options(table, key)
+        df.write.format(fmt).options(**options).mode("overwrite").save()
+
+
+class OnlineStore:
+    """Latest-value KV store: one parquet table per feature group.
+
+    ``sink`` routes publishes through the :class:`OnlineSink` seam
+    (default: the parquet KV).  Serving-side reads (``multi_get``) are
+    parquet-specific; a Redis deployment serves point lookups with a
+    Redis client against the same key/sentinel layout."""
+
+    def __init__(self, root: str, sink: OnlineSink | None = None):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.sink = sink if sink is not None else ParquetKVSink(root)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
@@ -64,7 +123,7 @@ class OnlineStore:
                 ]
             )
             out = sentinel.unionByName(out)
-        out.write.mode("overwrite").parquet(self._path(table))
+        self.sink.write(out, table, key)
 
     def multi_get(self, table: str, keys: list, key: str) -> pd.DataFrame:
         """Fetch rows for the requested keys (the Redis multi-get).

@@ -77,6 +77,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the oracle replays (decode values verified against gen-time ground
     # truth; windows + sessionize + as-of re-derived in SQL)
     "image_pipeline": (eq.q_image_pipeline, eq.SQL_IMAGE_PIPELINE),
+    # resize value-check: truth sidecar computes decode→resize→stats with
+    # no codec roundtrip; the Spark path re-encodes and re-decodes
+    "resize_roundtrip": (eq.q_resize_roundtrip, eq.SQL_RESIZE_ROUNDTRIP),
 }
 
 

@@ -8,7 +8,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from feature_store_spark.pipeline.infer import DEFAULT_KEY, OnlineStore, infer
+from feature_store_spark.pipeline.infer import (
+    DEFAULT_KEY,
+    OnlineStore,
+    ParquetKVSink,
+    infer,
+    spark_redis_writer_options,
+)
 from feature_store_spark.plans.features import (
     DerivedFeature,
     Feature,
@@ -210,6 +216,40 @@ def test_infer_present_key_with_null_first_feature(spark, tmp_path):
     assert served.loc["u_ok", "f_a"] == 1.5
     cold = served.loc["u_cold"]
     assert cold["f_a"] == -1.0 and cold["f_b"] == -2.0
+
+
+def test_online_sink_seam(spark, tmp_path):
+    """Publishes route through the OnlineSink interface: a custom sink
+    sees the fully-prepared snapshot (stringified key + sentinel row),
+    and the spark-redis mapping is pinned as data (the reference's
+    RedisSink resolves to exactly this format/options)."""
+
+    class RecordingSink(ParquetKVSink):
+        def __init__(self, root):
+            super().__init__(root)
+            self.calls = []
+
+        def write(self, df, table, key):
+            self.calls.append((table, key, df))
+            super().write(df, table, key)
+
+    sink = RecordingSink(str(tmp_path / "online"))
+    store = OnlineStore(str(tmp_path / "online"), sink=sink)
+    latest = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 2], "f": [1.0, 2.0]})
+    )
+    store.publish("grp", latest, key="user_id", defaults={"f": 0.0})
+    assert [(t, k) for t, k, _ in sink.calls] == [("grp", "user_id")]
+    published = sink.calls[0][2].toPandas()
+    assert set(published["user_id"]) == {DEFAULT_KEY, "1", "2"}  # stringified
+    # serving still works against what the sink wrote
+    served = infer(store, pd.DataFrame({"user_id": [2, 99]}),
+                   {"grp": "user_id"}).set_index("user_id")
+    assert served.loc[2, "f"] == 2.0 and served.loc[99, "f"] == 0.0
+
+    fmt, opts = spark_redis_writer_options("grp", "user_id")
+    assert fmt == "org.apache.spark.sql.redis"
+    assert opts == {"table": "grp", "key.column": "user_id"}
 
 
 def test_duplicate_anchor_rejected(registry):
