@@ -174,15 +174,24 @@ def _chain_window_features(
     decoded: DataFrame,
     ctx: DataFrame | None,
     state: DataFrame | None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Window features for ONE history partition's already-DECODED rows,
-    seeded by the trailing-window context rows (prior partition's decoded
-    features) and the per-entity state (latest row before this partition).
-    No image bytes anywhere — re-running the chain (backfill) moves only
-    the small numeric feature vectors.
+    """Window features for a SPAN of already-DECODED history rows (one
+    partition or several consecutive ones), seeded by the trailing-window
+    context rows (pre-span decoded features) and the per-entity state
+    (latest row before the span).  No image bytes anywhere — re-running
+    the chain (backfill) moves only the small numeric feature vectors.
 
-    Equals :func:`compute_features` restricted to this partition's rows —
-    property-tested in tests/test_pipeline_e2e.py via golden parity.
+    Seeding only needs to happen at each entity's FIRST span row: inside
+    the span, ``lag``/session windows read the actual previous row, which
+    is exactly what per-partition chaining would have carried as state —
+    so one span call equals per-partition chaining equals
+    :func:`compute_features` restricted to the span (property-tested in
+    tests/test_pipeline_e2e.py via golden parity and the random-mutation
+    sequence test).
+
+    ``keep_cols`` are passed through to the output (e.g. the source
+    partition tag for a batched partitioned write).
     """
     feats = decoded
 
@@ -258,7 +267,7 @@ def _chain_window_features(
                         F.col("session_id_idx").cast("string")),
         )
     )
-    return cur.select(*[F.col(c) for c in STATE_COLS])
+    return cur.select(*[F.col(c) for c in (*STATE_COLS, *keep_cols)])
 
 
 def _date_minus(part: str, days: int) -> str:
@@ -316,21 +325,29 @@ def update_feature_table(
     lineage: LineageLog | None = None,
     decoded_table: PartitionedTable | None = None,
     state_snapshot_every: int = 10,
+    batch_parts: int = 32,
 ) -> list[str]:
     """Bring the decoded / feature / state tables up to date with the
     images table's current snapshot.
 
     Stage A (decode): each image partition whose OWN input dirs changed is
-    decoded into ``decoded_table`` — nothing cascades, backfills re-decode
-    exactly the changed partitions.
+    decoded into ``decoded_table`` in ONE batched commit — nothing
+    cascades, backfills re-decode exactly the changed partitions.
 
     Stage B (window chain): feature partitions (decoded cols + window
     cols) recompute forward from the first partition whose features or
-    state commit is missing or carries stale decode lineage.  State
-    commits are per-partition DELTAS with a full snapshot every
-    ``state_snapshot_every``-th image partition (by position, so the
-    cadence is stable under backfills).  Features are written before
-    state; validity requires both, so a crash between them recomputes.
+    state commit is missing or carries stale decode lineage — processed
+    ``batch_parts`` consecutive partitions per Spark job (round 4: the
+    per-partition loop serialized a year's initial build on ~4 driver
+    actions per day; one span call of :func:`_chain_window_features`
+    equals per-partition chaining, see its docstring).  Each span is TWO
+    commits: all feature partitions (partition tag = source partition),
+    then all state partitions — per-partition DELTAS with a full
+    snapshot every ``state_snapshot_every``-th image partition (by
+    position, so the cadence is stable under backfills; a snapshot at P
+    merges the pre-span state with the span's written rows ≤ P).
+    Features are written before state; validity requires both, so a
+    crash between the two commits recomputes the span.
 
     Returns the list of partitions whose window chain was (re)computed.
     """
@@ -413,14 +430,19 @@ def update_feature_table(
     done_before = [p for p in img_parts if p < todo_from]
     todo = [p for p in img_parts if p >= todo_from]
 
+    fcol = features_table.partition_col
     processed: list[str] = []
-    for part in todo:
+    for span in _chunks(todo, max(1, batch_parts)):
         ready = done_before + processed
-        decoded = decoded_table.read(spark, partitions=[part]).drop(
-            decoded_table.partition_col
-        )
-        ctx_lo = _date_minus(part, ROLL_CTX_DAYS)
-        ctx_parts = [p for p in ready if ctx_lo <= p < part]
+        first = span[0]
+        # keep the source-partition tag through the chain so the batched
+        # write labels every row by the partition it came from (never by
+        # re-deriving the date from event_time — a forced label must
+        # round-trip even if a row's timestamp strays from its partition)
+        decoded = decoded_table.read(spark, partitions=span) \
+            .withColumnRenamed(decoded_table.partition_col, "__src_part")
+        ctx_lo = _date_minus(first, ROLL_CTX_DAYS)
+        ctx_parts = [p for p in ready if ctx_lo <= p < first]
         ctx = (
             decoded_table.read(spark, partitions=ctx_parts).drop(
                 decoded_table.partition_col
@@ -431,52 +453,85 @@ def update_feature_table(
             read_state_asof(spark, state_table, upto=ready[-1])
             if ready else None
         )
-        feats = _chain_window_features(decoded, ctx, state)
-        meta = {
-            "decoded_dirs": sorted(dec_map[part]),
-            "input_dirs": sorted(snap.mapping[part]),
-            "input_snapshot": snap.snapshot_id,
+        feats = _chain_window_features(
+            decoded, ctx, state, keep_cols=("__src_part",)
+        )
+        pmeta = {
+            p: {
+                "decoded_dirs": sorted(dec_map[p]),
+                "input_dirs": sorted(snap.mapping[p]),
+            }
+            for p in span
         }
         features_table.write(
-            feats.withColumn(features_table.partition_col, F.lit(part)),
+            feats.withColumnRenamed("__src_part", fcol),
             mode="overwrite_partitions",
-            meta=meta,
+            meta={"input_snapshot": snap.snapshot_id},
+            partition_meta=pmeta,
         )
-        # state from the WRITTEN partition (cheap parquet read-back — the
-        # window chain and decode never recompute for the state commit)
-        written = features_table.read(spark, partitions=[part]).drop(
-            features_table.partition_col
-        )
-        delta = dedup_latest(
-            written, keys=["image_id"], order_desc=_STATE_DEDUP_DESC
-        ).select(*STATE_COLS)
-        state_kind = (
-            "snapshot"
-            if img_parts.index(part) % state_snapshot_every == 0
-            else "delta"
-        )
-        if state_kind == "snapshot" and state is not None:
-            delta = dedup_latest(
-                state.select(*STATE_COLS).unionByName(delta),
-                keys=["image_id"],
-                order_desc=_STATE_DEDUP_DESC,
+
+        # state from the WRITTEN partitions (cheap parquet read-back — the
+        # window chain and decode never recompute for the state commit):
+        # per-partition deltas, replaced by a full merged snapshot at the
+        # snapshot-cadence positions, all in ONE partitioned commit
+        written = features_table.read(spark, partitions=span)
+        snap_parts = {
+            p for p in span
+            if img_parts.index(p) % state_snapshot_every == 0
+        }
+        kinds = {
+            p: ("snapshot" if p in snap_parts else "delta") for p in span
+        }
+        deltas = dedup_latest(
+            written, keys=[fcol, "image_id"], order_desc=_STATE_DEDUP_DESC
+        ).select(F.col(fcol).alias(state_table.partition_col), *STATE_COLS)
+        state_frames = []
+        nonsnap = [p for p in span if p not in snap_parts]
+        if nonsnap:
+            state_frames.append(
+                deltas.where(
+                    F.col(state_table.partition_col).isin(nonsnap)
+                )
             )
+        for p in sorted(snap_parts):
+            upto_p = written.where(F.col(fcol) <= p).drop(fcol)
+            merged = (
+                state.select(*STATE_COLS).unionByName(
+                    upto_p.select(*STATE_COLS)
+                )
+                if state is not None else upto_p.select(*STATE_COLS)
+            )
+            state_frames.append(
+                dedup_latest(
+                    merged, keys=["image_id"], order_desc=_STATE_DEDUP_DESC
+                ).select(
+                    F.lit(p).alias(state_table.partition_col), *STATE_COLS
+                )
+            )
+        state_df = state_frames[0]
+        for f in state_frames[1:]:
+            state_df = state_df.unionByName(f)
         state_table.write(
-            delta.withColumn(state_table.partition_col, F.lit(part)),
+            state_df,
             mode="overwrite_partitions",
-            meta={**meta, "state_kind": state_kind},
+            meta={"input_snapshot": snap.snapshot_id},
+            partition_meta={
+                p: {**pmeta[p], "state_kind": kinds[p]} for p in span
+            },
         )
         if lineage is not None:
-            lineage.append(
-                {
-                    "kind": "feature_update",
-                    "partition": part,
-                    "input_snapshot": snap.snapshot_id,
-                    "ctx_partitions": ctx_parts,
-                    "state_kind": state_kind,
-                }
-            )
-        processed.append(part)
+            for part in span:
+                lineage.append(
+                    {
+                        "kind": "feature_update",
+                        "partition": part,
+                        "input_snapshot": snap.snapshot_id,
+                        "ctx_partitions": ctx_parts if part == first else
+                        [p for p in span if p < part][-ROLL_CTX_DAYS:],
+                        "state_kind": kinds[part],
+                    }
+                )
+        processed.extend(span)
     return processed
 
 

@@ -16,7 +16,10 @@ Config keys (dict, or YAML loaded into one):
   job_retry         attempts per stage (default 3)
   job_retry_sec     backoff seconds between attempts (default 0)
   num_date_eval     offline eval window: last N obs dates (default all)
-  asof_strategy     "sliced" (default) or "union"
+  asof_strategy     "sliced" (default), "union", or "auto" (materialize
+                    picks from recorded lineage skew; training retrieval
+                    probes)
+  batch_dates       obs dates per Spark job in materialize (default 16)
   registry          {"anchors": [...], "derived": [...]} — anchor dicts with
                     name/key/event_time/tiebreak/features/window_features,
                     feature dicts with name/expr/dtype (+ agg/window for
@@ -120,6 +123,7 @@ class FeaturePipeline:
         self.retries = int(config.get("job_retry", 3))
         self.backoff = float(config.get("job_retry_sec", 0))
         self.asof_strategy = config.get("asof_strategy", "sliced")
+        self.batch_dates = int(config.get("batch_dates", 16))
         self.images_t = PartitionedTable(self.out, "images", "event_date")
         self.obs_t = PartitionedTable(self.out, "observations", "obs_date")
         self.features_t = PartitionedTable(self.out, "features", "event_date")
@@ -218,6 +222,7 @@ class FeaturePipeline:
                 asof_strategy=self.asof_strategy,
                 features_table=self.features_t,
                 state_table=self.state_t,
+                batch_dates=self.batch_dates,
             )
 
         return self._retry(_run, "materialize_offline")

@@ -196,3 +196,55 @@ def test_empty_write_commits_empty_snapshot(spark, tmp_path):
         mode="overwrite_partitions",
     )
     assert t.read(spark).count() == 1
+
+
+def test_manifest_jsonl_torn_tail_and_legacy_prefix(tmp_path):
+    """Round-4 manifest rework (no Spark needed): the snapshot log is
+    append-only JSONL; a torn final line (crash mid-append) is ignored on
+    read and repaired before the next append; a legacy _manifest.json
+    array is read as an immutable prefix."""
+    import json
+    import os
+
+    t = PartitionedTable(str(tmp_path), "t", "d")
+    os.makedirs(t.path, exist_ok=True)
+
+    # legacy prefix + two JSONL appends
+    legacy = [{"snapshot_id": "snap-legacy", "op": "overwrite",
+               "partitions": {"p1": 5}, "mapping": {"p1": ["v0"]},
+               "meta": {}, "touched": ["p1"]}]
+    with open(t._legacy_manifest_path, "w") as f:
+        json.dump(legacy, f)
+    t._append_manifest({"snapshot_id": "snap-a", "op": "append",
+                        "partitions": {"p1": 7}, "mapping": {"p1": ["v1"]},
+                        "meta": {}, "touched": ["p1"]})
+    log = t._read_manifest()
+    assert [e["snapshot_id"] for e in log] == ["snap-legacy", "snap-a"]
+
+    # torn tail: partial json with no trailing newline → ignored on read
+    with open(t._manifest_path, "a") as f:
+        f.write('{"snapshot_id": "snap-torn", "par')
+    assert [e["snapshot_id"] for e in t._read_manifest()] == [
+        "snap-legacy", "snap-a"]
+
+    # next append repairs the tail first; the torn line never resurfaces
+    t._append_manifest({"snapshot_id": "snap-b", "op": "append",
+                        "partitions": {}, "mapping": {}, "meta": {},
+                        "touched": []})
+    ids = [e["snapshot_id"] for e in t._read_manifest()]
+    assert ids == ["snap-legacy", "snap-a", "snap-b"]
+    # file itself holds exactly the two good JSONL lines
+    with open(t._manifest_path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    assert len(lines) == 2 and all(json.loads(ln) for ln in lines)
+
+    # per-partition meta overlay merges over commit meta (newest wins)
+    t._append_manifest({"snapshot_id": "snap-c", "op": "append",
+                        "partitions": {"p1": 1, "p2": 1},
+                        "mapping": {"p1": ["v2"], "p2": ["v2"]},
+                        "meta": {"shared": 1},
+                        "partition_meta": {"p2": {"own": 2}},
+                        "touched": ["p1", "p2"]})
+    info = t.partition_info()
+    assert info["p1"] == {"shared": 1}
+    assert info["p2"] == {"shared": 1, "own": 2}

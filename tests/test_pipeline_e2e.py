@@ -401,6 +401,51 @@ def test_backfill_redecodes_only_changed_partition(spark, setup, tmp_path):
         ).all(), c
 
 
+def test_stage_b_batching_equals_per_partition(spark, setup, tmp_path):
+    """Round-4 stage-B batching: one span call of the window chain +
+    batched delta/snapshot state commit must equal partition-by-partition
+    processing — feature rows, per-partition state row counts, state
+    kinds, and any read_state_asof cut point."""
+    from feature_store_spark.pipeline.materialize import (
+        read_state_asof,
+        update_feature_table,
+    )
+
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    base = str(tmp_path)
+    out = {}
+    for tag, bp in (("one", 1), ("many", 32)):
+        img_t = PartitionedTable(base, f"img_{tag}", "event_date")
+        img_t.write(spark.createDataFrame(img_pdf), mode="overwrite")
+        ft = PartitionedTable(base, f"f_{tag}", "event_date")
+        st = PartitionedTable(base, f"s_{tag}", "event_date")
+        done = update_feature_table(
+            spark, img_t, ft, st, None,
+            state_snapshot_every=3, batch_parts=bp,
+        )
+        assert done == img_t.partitions()
+        feats = (
+            ft.read(spark).toPandas()
+            .sort_values(["image_id", "event_time", "phash"], kind="stable")
+            .reset_index(drop=True)
+        )
+        mid = img_t.partitions()[len(img_t.partitions()) // 2]
+        cut = (
+            read_state_asof(spark, st, upto=mid).toPandas()
+            .sort_values("image_id").reset_index(drop=True)
+        )
+        out[tag] = (
+            feats,
+            dict(st.current_snapshot().partitions),
+            {p: st.partition_info()[p]["state_kind"] for p in st.partitions()},
+            cut,
+        )
+    pd.testing.assert_frame_equal(out["one"][0], out["many"][0])
+    assert out["one"][1] == out["many"][1]  # per-partition state rows
+    assert out["one"][2] == out["many"][2]  # snapshot cadence
+    pd.testing.assert_frame_equal(out["one"][3], out["many"][3])
+
+
 def test_state_deltas_and_snapshots(spark, setup, tmp_path):
     """Round-2 judge finding: state wrote a FULL per-entity snapshot every
     partition (O(P×|entities|) rows).  Now: delta partitions hold only the
@@ -473,9 +518,11 @@ def test_crash_between_feature_and_state_commit_recovers(spark, setup, tmp_path)
     with pytest.raises(RuntimeError, match="simulated crash"):
         update_feature_table(spark, img5, feats_t, state_t, flin)
     state_t.write = orig_write
-    # features p0 committed, state p0 missing → partition is INVALID and
-    # the resume recomputes it (and everything after) cleanly
-    assert feats_t.partitions() == parts[:1]
+    # the span's features committed but its state didn't → every span
+    # partition is INVALID (validity requires BOTH commits) and the
+    # resume recomputes the span cleanly (round 4: commit granularity is
+    # the batch_parts span, not a single partition)
+    assert set(feats_t.partitions()) == set(parts)
     assert state_t.current_snapshot() is None
     done = update_feature_table(spark, img5, feats_t, state_t, flin)
     assert done == parts
