@@ -118,6 +118,12 @@ lines += [
     "",
     "## Analysis",
     "",
+    "- **Read efficiency against the spread.**  The efficiency column",
+    "  divides min-wall throughputs; when a side's spread is ±30%+ (a",
+    "  loud host on the measurement night), the ratio inherits that",
+    "  uncertainty and is best treated as a lower bound — the",
+    "  interleaving guarantees the noise hits both sides, not that it",
+    "  cancels.  The quiet-host decode-kernel row is the gate figure.",
     "- **The CPU-bound decode kernel — the regime a 100 TB image corpus",
     "  lives in — meets the >=0.8 gate.**  Every feature row's cost",
     "  is dominated by pixel decode + DCT pHash in Arrow-batched pandas",

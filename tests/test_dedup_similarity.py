@@ -210,6 +210,36 @@ def test_ivf_plan_size_constant_at_production_k_dim(spark):
     assert (got.groupby("q_id").size() == 3).all()
 
 
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Round-3 ADVICE: each propagation round localCheckpoints a new
+    label table; superseded rounds' blocks must be freed as the loop
+    advances (block-manager memory holds ONE label table), and the final
+    table is released by the operator-cache registry after the caller
+    materializes."""
+    from feature_store_spark.operators.caches import release_caches
+    from feature_store_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+
+    def n_persist():
+        return sc._jsc.getPersistentRDDs().size()
+
+    release_caches()
+    base = n_persist()
+    # a 10-node path: several propagation rounds, labels converge to 0
+    e = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": list(range(9)),
+                      "doc_id_b": list(range(1, 10))})
+    )
+    out = connected_components(e)
+    rows = {r["node"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(10)}
+    # superseded rounds freed; only the final labels (+ nothing else) linger
+    assert n_persist() <= base + 1
+    release_caches()
+    assert n_persist() <= base
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation equals a brute-force union-find on a seeded
     random graph (isolated nodes, chains, and dense blobs), at any input
