@@ -812,6 +812,38 @@ FROM part
 """
 
 
+def q_topk_per_group(spark, sf):
+    """Skew-safe exact top-3 events per user (salted two-phase ranking —
+    a hot user's rows spread over n_salt partitions in phase 1 instead of
+    landing in one window task; see operators/grouped.grouped_topk).
+    Total order (value desc, ts, event_id) so ranks are deterministic."""
+    from feature_store_spark.operators.grouped import grouped_topk
+
+    e = t(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    out = grouped_topk(
+        e, "user_id",
+        order_by=[F.col("value").desc(), F.col("ts").asc(),
+                  F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("value", R).alias("value"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+SQL_TOPK_PER_GROUP = f"""
+SELECT user_id, event_id, ROUND(value, {R}) AS value, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, ts ASC, event_id ASC) AS rnk
+  FROM events)
+WHERE rnk <= 3
+"""
+
+
 def q_exact_quantiles(spark, sf):  # applyInPandas custom grouped op
     from feature_store_spark.operators.grouped import exact_quantiles
 

@@ -55,6 +55,45 @@ def zscore_normalize(
     return grouped_apply(df, [entity], _norm, out_schema)
 
 
+def grouped_topk(
+    df: DataFrame,
+    key: str,
+    order_by: list,
+    k: int,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact top-k rows per group, SKEW-SAFE: two-phase with a salt.
+
+    The window form (``row_number() over (partition by key order by …)``)
+    puts a hot key's ENTIRE row set into one task — the same failure mode
+    the sliced as-of exists for.  Here phase 1 ranks within ``(key,
+    salt)`` — a hot key's rows spread across ``n_salt`` partitions, each
+    keeping at most k — and phase 2 ranks the ≤ ``n_salt × k`` survivors
+    per key.  Exact for any total order: the global top-k of a group is
+    contained in the union of its per-salt top-k (truncation below local
+    rank k can never discard a global top-k row).
+
+    ``order_by`` must be a TOTAL order (include tiebreak columns) or
+    ranks are partition-dependent.  The salt hashes all input columns —
+    deterministic per row, uniform across duplicates' positions.  With
+    ``order_by = [md5(id)]`` this doubles as deterministic stratified
+    per-group sampling (n per stratum).
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    w1 = Window.partitionBy(key, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .drop("__salt", "__rn")
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     entity: str,

@@ -63,6 +63,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (tq.q_minhash_signatures, tq.SQL_MINHASH),
     "lsh_pairs": (tq.q_lsh_pairs, tq.SQL_LSH_PAIRS),
     "dup_clusters": (tq.q_dup_clusters, tq.SQL_DUP_CLUSTERS),
+    "corpus_dedup": (tq.q_corpus_dedup, tq.SQL_CORPUS_DEDUP),
     "lsh_pairs_capped": (tq.q_lsh_pairs_capped, tq.SQL_LSH_PAIRS_CAPPED),
     "simhash": (tq.q_simhash, tq.SQL_SIMHASH),
     "ngram_jaccard": (tq.q_ngram_jaccard, tq.SQL_NGRAM_JACCARD),
@@ -71,7 +72,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_near_dup": (tq.q_embedding_near_dup, tq.SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
     "ann_ivf": (tq.q_ann_ivf, tq.SQL_ANN_IVF),
-    # custom grouped op (applyInPandas) + the flagship image pipeline
+    # custom grouped ops + the flagship image pipeline
+    "topk_per_group": (eq.q_topk_per_group, eq.SQL_TOPK_PER_GROUP),
     "exact_quantiles": (eq.q_exact_quantiles, eq.SQL_EXACT_QUANTILES),
     # flagship: the Spark query writes generation-time truth sidecars that
     # the oracle replays (decode values verified against gen-time ground

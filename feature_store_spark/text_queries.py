@@ -317,6 +317,85 @@ FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
 """
 
 
+_CORPUS_JACCARD_T = 0.5  # verify threshold for LSH candidates
+
+
+def q_corpus_dedup(spark, sf):
+    """The END-TO-END corpus dedup pass a training-data pipeline runs:
+    exact-duplicate edges (normalized-md5 fingerprint groups) ∪ LSH
+    candidate pairs VERIFIED by exact 3-gram Jaccard ≥ 0.5 → connected
+    components → per-document keep/drop decision.  Every stage is the
+    scale path of its own gate query (fingerprint / lsh_pairs /
+    ngram_jaccard / dup_clusters); this row pins their composition.
+
+    Threshold parity note: both engines compute jaccard as an int-count
+    division in doubles (same numerator/denominator → identical IEEE
+    result), so the ≥-filter can't diverge on borderline pairs.
+    """
+    from feature_store_spark.operators.dedup import dup_clusters, ngram_jaccard
+
+    d = t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_a"))
+    exact_pairs = (
+        fp.join(canon, on="fp")
+        .where(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    verified = (
+        ngram_jaccard(q_lsh_pairs(spark, sf), d, id_a="doc_a", id_b="doc_b")
+        .where(F.col("jaccard") >= _CORPUS_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    pairs = exact_pairs.unionByName(verified)
+    return dup_clusters(
+        d.select("doc_id"), pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
+    ).select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").alias("keep"),
+    )
+
+
+SQL_CORPUS_DEDUP = f"""
+WITH RECURSIVE
+fp AS (SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+       FROM documents),
+exact_pairs AS (
+  SELECT c.m AS doc_a, fp.doc_id AS doc_b
+  FROM fp JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) c USING (f)
+  WHERE fp.doc_id <> c.m),
+lsh AS ({SQL_LSH_PAIRS}),
+sh AS (SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+                     string_split(text,' ')[i+2]))) AS s
+  FROM documents),
+verified AS (
+  SELECT l.doc_a, l.doc_b
+  FROM lsh l JOIN sh a ON a.doc_id = l.doc_a JOIN sh b ON b.doc_id = l.doc_b
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= {_CORPUS_JACCARD_T}),
+pairs AS (SELECT * FROM exact_pairs UNION SELECT * FROM verified),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a),
+asg AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM asg GROUP BY cluster_id)
+SELECT asg.doc_id, asg.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
+       asg.doc_id = asg.cluster_id AS keep
+FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
+"""
+
+
 _LSH_CAP = 3  # hot-bucket cap for the capped gate query
 
 

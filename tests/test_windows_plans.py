@@ -135,3 +135,49 @@ def test_rolling_at_property_vs_bruteforce(spark, seed):
                 assert abs(r[name] - sel.sum()) < 1e-9, (r.rid, name)
             else:
                 assert abs(r[name] - sel.mean()) < 1e-9, (r.rid, name)
+
+
+def test_grouped_topk_salted_equals_window(spark):
+    """The skew-safe two-phase top-k (salt → local rank → global rank)
+    is exact: identical to the plain single-window ranking at any salt
+    count and input partitioning (the global top-k of a group is
+    contained in the union of its per-salt top-k)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from feature_store_spark.operators.grouped import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            # one hot key owning ~half the rows — the case the salt exists for
+            "user_id": np.where(rng.random(n) < 0.5, 7,
+                                rng.integers(0, 40, n)),
+            "event_id": np.arange(n),
+            "value": np.round(rng.random(n) * 10, 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    cols = ["user_id", "event_id", "value", "rnk"]
+    want = (
+        df.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(*order)),
+        )
+        .where(F.col("rnk") <= 5)
+        .toPandas()[cols]
+        .sort_values(["user_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    for n_salt, parts in ((4, 3), (16, 17)):
+        got = (
+            grouped_topk(df.repartition(parts), "user_id", order,
+                         k=5, n_salt=n_salt)
+            .toPandas()[cols]
+            .sort_values(["user_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), (n_salt, parts)
