@@ -25,6 +25,13 @@ JSON array every commit, making manifest maintenance O(P²) in commits
 lines to the JSONL.  A torn final line (crash mid-append) is ignored on
 read — its version dir was never referenced, and the next commit reuses
 the sequence number and overwrites that dir.
+
+Concurrency contract: ONE writer per table (the orchestrator's per-table
+checkpointed pipelines give this naturally).  Concurrent committers
+would race on the version sequence number; real Iceberg resolves that
+with optimistic concurrency on the catalog pointer — the swap-in point
+if multi-writer tables are ever needed (SURVEY §1.4).  Readers are
+always safe: they see a prefix of the log, and data dirs are immutable.
 """
 
 from __future__ import annotations

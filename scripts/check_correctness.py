@@ -71,6 +71,8 @@ def main() -> int:
     for tbl in TABLES:
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
 
+    from feature_store_spark.operators.caches import release_caches
+
     failures = 0
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
@@ -82,6 +84,10 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # operator-internal persists (sliced as-of, CC labels) are
+            # per-query; 51 queries in one session must not accumulate
+            release_caches()
         if sql is None:
             print(f"ok   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
             continue
