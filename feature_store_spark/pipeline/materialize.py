@@ -494,7 +494,13 @@ def update_feature_table(
                 )
             )
         for p in sorted(snap_parts):
-            upto_p = written.where(F.col(fcol) <= p).drop(fcol)
+            # manifest-pruned read of span partitions ≤ p: the partition
+            # column is path-derived, so a .where on it would row-filter
+            # AFTER scanning every span file — listing only the wanted
+            # leaf dirs prunes at the file level
+            upto_p = features_table.read(
+                spark, partitions=[q for q in span if q <= p]
+            ).drop(fcol)
             merged = (
                 state.select(*STATE_COLS).unionByName(
                     upto_p.select(*STATE_COLS)
