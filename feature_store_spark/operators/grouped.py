@@ -64,14 +64,19 @@ def grouped_topk(
 ) -> DataFrame:
     """Exact top-k rows per group, SKEW-SAFE: two-phase with a salt.
 
-    The window form (``row_number() over (partition by key order by …)``)
-    puts a hot key's ENTIRE row set into one task — the same failure mode
-    the sliced as-of exists for.  Here phase 1 ranks within ``(key,
-    salt)`` — a hot key's rows spread across ``n_salt`` partitions, each
-    keeping at most k — and phase 2 ranks the ≤ ``n_salt × k`` survivors
-    per key.  Exact for any total order: the global top-k of a group is
-    contained in the union of its per-salt top-k (truncation below local
-    rank k can never discard a global top-k row).
+    Spark ≥3.5 already pushes a rank-limit (``WindowGroupLimit``) to the
+    map side of a plain ``row_number() ≤ k`` filter, so the single-window
+    form's reduce task receives ≤ k × (map partitions) rows per key —
+    fine until the map-partition count is itself large (a 100 TB scan is
+    10⁵+ input splits, so a hot key's reduce task still sees 10⁵·k rows
+    sorted in one task).  Here phase 1 ranks within ``(key, salt)`` — the
+    survivors per key are capped at ``n_salt × k`` INDEPENDENT of input
+    partition count — and phase 2 ranks those.  Both phases get the same
+    map-side WindowGroupLimit pushdown (verified: 2 Exchanges, 4
+    WindowGroupLimit nodes).  Exact for any total order: the global
+    top-k of a group is contained in the union of its per-salt top-k
+    (truncation below local rank k can never discard a global top-k
+    row).
 
     ``order_by`` must be a TOTAL order (include tiebreak columns) or
     ranks are partition-dependent.  The salt hashes all input columns —

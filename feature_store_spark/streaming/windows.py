@@ -19,8 +19,10 @@ history.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
+from feature_store_spark.io.tables import PartitionedTable
 from feature_store_spark.operators.asof import duration_to_us
 
 
@@ -61,3 +63,50 @@ def windowed_agg(
         *([entity] if entity else []),
         *aggs.keys(),
     )
+
+
+def stream_windowed_agg_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    table: PartitionedTable,
+    checkpoint_dir: str,
+    schema: str,
+    ts: str = "event_time",
+    window: str = "10m",
+    slide: str | None = None,
+    watermark: str = "10m",
+    entity: str | None = None,
+    aggs: dict[str, Column] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously materialize closed windows into a
+    :class:`PartitionedTable` (partitioned by the window-start date) —
+    streaming feature tables the batch engine consumes like any other
+    (as-of joins, snapshot reads, resume).
+
+    Exactly-once end-to-end, same contract as the ingest sink
+    (``ingest.make_batch_committer``): append mode emits each window
+    exactly once when the watermark passes its end, and a replayed
+    micro-batch (crash between table commit and checkpoint advance) is
+    skipped via the ``(checkpoint, batch_id)`` recorded in the snapshot
+    manifest.
+    """
+    from feature_store_spark.streaming.ingest import make_batch_committer
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = windowed_agg(
+        stream, ts=ts, window=window, slide=slide, watermark=watermark,
+        entity=entity, aggs=aggs,
+    ).withColumn(
+        table.partition_col, F.date_format("window_start", "yyyy-MM-dd")
+    )
+    writer = (
+        out.writeStream.foreachBatch(
+            make_batch_committer(table, checkpoint_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -112,6 +112,63 @@ def test_windowed_agg_append_emission_and_late_drop(spark, tmp_path):
     )
 
 
+def test_stream_windowed_agg_to_table_exactly_once(spark, tmp_path):
+    """Closed windows land in a PartitionedTable exactly once: a second
+    drain over the same checkpoint appends only newly-closed windows,
+    and re-running with nothing new commits nothing."""
+    import os
+    import time
+
+    from feature_store_spark.io.tables import PartitionedTable
+    from feature_store_spark.streaming.windows import (
+        stream_windowed_agg_to_table,
+    )
+
+    (tmp_path / "incoming").mkdir()
+    src = str(tmp_path / "incoming")
+    table = PartitionedTable(str(tmp_path / "tables"), "win_feats", "date")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+
+    write_parquet(_events([("u1", "10:00:00", 1), ("u2", "10:05:00", 2),
+                           ("u1", "10:31:00", 4)]), f"{src}/f1.parquet")
+    write_parquet(_events([("u1", "10:52:00", 16)]), f"{src}/f2.parquet")
+    os.utime(f"{src}/f1.parquet", (now, now))
+    os.utime(f"{src}/f2.parquet", (now + 10, now + 10))
+
+    def drain():
+        q = stream_windowed_agg_to_table(
+            spark, src, table, ckpt, schema=_SCHEMA,
+            ts="event_time", window="10m", watermark="10m",
+            aggs={"n": F.count(F.lit(1)), "v_sum": F.sum("v")},
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # wm reaches 10:42 -> [10:00,10:10) and [10:30,10:40) are closed
+    got1 = table.read(spark).toPandas().sort_values("window_start")
+    assert [str(s) for s in got1["window_start"]] == [
+        "2024-01-01 10:00:00", "2024-01-01 10:30:00"]
+    assert got1["n"].tolist() == [2, 1]
+    n_snaps = len(table._read_manifest())
+
+    # nothing new: no windows close, no snapshot committed
+    drain()
+    assert len(table._read_manifest()) == n_snaps
+    assert table.read(spark).count() == 2
+
+    # one more file closes [10:50,11:00) ONLY — earlier windows are not
+    # re-emitted or duplicated
+    write_parquet(_events([("u2", "11:20:00", 32)]), f"{src}/f3.parquet")
+    os.utime(f"{src}/f3.parquet", (now + 20, now + 20))
+    drain()
+    got2 = table.read(spark).toPandas().sort_values("window_start")
+    assert [str(s) for s in got2["window_start"]] == [
+        "2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 10:50:00"]
+    assert got2["v_sum"].tolist() == [3.0, 4.0, 16.0]
+    assert set(table.partitions()) == {"2024-01-01"}
+
+
 def test_windowed_agg_per_entity_sliding(spark, tmp_path):
     """Sliding windows + entity grouping: each event lands in
     window/slide overlapping windows per its entity (batch mode — the
