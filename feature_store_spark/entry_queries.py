@@ -812,6 +812,32 @@ FROM part
 """
 
 
+def q_string_filter(spark, sf):
+    """Reference P7 front door: pandas-query-style string filters from a
+    config file, parsed to typed tuple specs and interpreted by the
+    P2/S4 filter engine — plain Catalyst predicates underneath (pushed
+    to the scan)."""
+    from feature_store_spark.io.tables import apply_filter_strings
+
+    e = t(spark, sf, "events")
+    out = apply_filter_strings(
+        e,
+        ["event_type in ['click', 'view']", "value > 40.0",
+         "user_id != 7"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.round("value", R).alias("value"),
+    )
+
+
+SQL_STRING_FILTER = f"""
+SELECT event_id, user_id, event_type, ROUND(value, {R}) AS value
+FROM events
+WHERE event_type IN ('click', 'view') AND value > 40.0 AND user_id <> 7
+"""
+
+
 def q_topk_per_group(spark, sf):
     """Skew-safe exact top-3 events per user (salted two-phase ranking —
     a hot user's rows spread over n_salt partitions in phase 1 instead of

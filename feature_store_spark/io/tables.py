@@ -333,6 +333,49 @@ class PartitionedTable:
         return sorted(set(self.partitions()) - set(processed))
 
 
+_AST_FILTER_OPS = {
+    "Eq": "=", "NotEq": "!=", "Lt": "<", "LtE": "<=", "Gt": ">",
+    "GtE": ">=", "In": "in", "NotIn": "not in",
+}
+
+
+def parse_filter_strings(filters: list[str]) -> list[tuple]:
+    """Reference P7 (``base/utils/utils.py:103-163``): each string is ONE
+    pandas-query-style comparison ``col OP literal`` (e.g. ``"a > 1"``,
+    ``"t == 'click'"``, ``"k in [1, 2]"``); a list of strings is ANDed.
+    Parsed with the Python expression grammar, so literals arrive as real
+    typed values (ints, floats, strings, lists for ``in``), then handed
+    to :func:`apply_filter_spec` — config-file sugar over the tuple ops.
+    """
+    import ast
+
+    out = []
+    for q in filters:
+        node = ast.parse(q, mode="eval").body
+        if not isinstance(node, ast.Compare) or len(node.ops) != 1:
+            raise ValueError(
+                f"filter {q!r}: want exactly one comparison 'col OP literal'"
+            )
+        if not isinstance(node.left, ast.Name):
+            raise ValueError(f"filter {q!r}: left side must be a column name")
+        op = _AST_FILTER_OPS.get(type(node.ops[0]).__name__)
+        if op is None:
+            raise ValueError(f"filter {q!r}: unsupported operator")
+        try:
+            val = ast.literal_eval(node.comparators[0])
+        except ValueError as e:
+            raise ValueError(
+                f"filter {q!r}: right side must be a literal"
+            ) from e
+        out.append((node.left.id, op, val))
+    return out
+
+
+def apply_filter_strings(df: DataFrame, filters: list[str]) -> DataFrame:
+    """String-filter front door: parse (P7) then interpret (P2/S4)."""
+    return apply_filter_spec(df, parse_filter_strings(filters))
+
+
 def apply_filter_spec(df: DataFrame, spec: list[tuple]) -> DataFrame:
     """Reference P2/S4 filter-op interpreter (``fileops.py:236-319``):
     tuples ``(col, op, value)`` with op in

@@ -73,6 +73,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh": (tq.q_ann_lsh, tq.SQL_ANN_LSH),
     "ann_ivf": (tq.q_ann_ivf, tq.SQL_ANN_IVF),
     # custom grouped ops + the flagship image pipeline
+    "string_filter": (eq.q_string_filter, eq.SQL_STRING_FILTER),
     "topk_per_group": (eq.q_topk_per_group, eq.SQL_TOPK_PER_GROUP),
     "exact_quantiles": (eq.q_exact_quantiles, eq.SQL_EXACT_QUANTILES),
     # flagship: the Spark query writes generation-time truth sidecars that

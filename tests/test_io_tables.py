@@ -248,3 +248,28 @@ def test_manifest_jsonl_torn_tail_and_legacy_prefix(tmp_path):
     info = t.partition_info()
     assert info["p1"] == {"shared": 1}
     assert info["p2"] == {"shared": 1, "own": 2}
+
+
+def test_parse_filter_strings(spark, df):
+    """P7 string filters: pandas-query-style single comparisons parsed to
+    tuple specs (typed literals), ANDed by apply_filter_strings."""
+    from feature_store_spark.io.tables import (
+        apply_filter_strings,
+        parse_filter_strings,
+    )
+
+    assert parse_filter_strings(
+        ["k > 1", "grp == 'a'", "v != 30.0", "k in [1, 2, 3]",
+         "grp not in ['c']"]
+    ) == [("k", ">", 1), ("grp", "=", "a"), ("v", "!=", 30.0),
+          ("k", "in", [1, 2, 3]), ("grp", "not in", ["c"])]
+
+    got = apply_filter_strings(df, ["k in [1, 2, 3]", "grp == 'a'", "k > 1"])
+    assert [r["k"] for r in got.collect()] == [2]
+
+    for bad in ["k > 1 and grp == 'a'",   # two comparisons
+                "1 < k",                  # left side not a column
+                "k ** 2",                 # not a comparison
+                "k == other_col"]:        # right side not a literal
+        with pytest.raises(ValueError):
+            parse_filter_strings([bad])
