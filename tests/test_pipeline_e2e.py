@@ -341,6 +341,29 @@ def test_backfill_idempotent(spark, setup, full_run):
     )
 
 
+def test_backfill_non_adjacent_dates_in_one_batch(spark, setup, full_run):
+    """A batched backfill of NON-ADJACENT dates (gap inside the span)
+    must still include the in-between days' feature rows as as-of
+    candidates for the later date — equal to the full per-date run."""
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    out_full, _, _, _ = full_run
+    parts = obs_t.partitions()
+    assert len(parts) >= 4
+    picked = [parts[0], parts[3]]  # gap: parts[1], parts[2] not re-run
+    out_t = PartitionedTable(f"{root}/gap", "features", "obs_date")
+    ckpt = CheckpointManifest(f"{root}/gap/_checkpoint.jsonl")
+    lin = LineageLog(f"{root}/gap/_lineage.jsonl")
+    done = materialize(spark, images_t, obs_t, out_t, ckpt, lin,
+                       dates=picked, asof_strategy="sliced", batch_dates=16)
+    assert done == picked
+    key = ["image_id", "obs_time", "phash"]
+    a = out_t.read(spark).toPandas().sort_values(
+        key, kind="stable").reset_index(drop=True)
+    b = out_full.read(spark, partitions=picked).toPandas().sort_values(
+        key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_backfill_redecodes_only_changed_partition(spark, setup, tmp_path):
     """Round-2 judge finding: a day-1 backfill re-decoded every later
     partition because decode and window state shared a table.  Decode is
