@@ -265,7 +265,19 @@ class PartitionedTable:
         """
         if mode not in ("overwrite_partitions", "append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
-        seq = len(self._read_manifest())
+        log = self._read_manifest()
+        # next version number = 1 + max referenced by ANY snapshot — NOT
+        # len(log): expire_snapshots compacts the log, and a length-based
+        # seq would then reuse numbers of dirs still referenced by
+        # retained snapshots
+        max_seq = -1
+        for e in log:
+            for dirs in e["mapping"].values():
+                for d in dirs:
+                    m = re.search(r"v(\d+)$", d)
+                    if m:
+                        max_seq = max(max_seq, int(m.group(1)))
+        seq = max(max_seq + 1, len(log))
         vdir = os.path.join(self.data_path, f"v{seq:04d}")
         df.write.partitionBy(self.partition_col).mode("overwrite").parquet(vdir)
 
@@ -325,6 +337,54 @@ class PartitionedTable:
             entry["partition_meta"] = partition_meta
         self._append_manifest(entry)
         return Snapshot(snap_id, counts, mode, mapping, meta or {}, touched)
+
+    # -- lifecycle ------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Iceberg-style maintenance: retain the newest ``keep_last``
+        snapshots, compact the log, and DELETE version dirs no retained
+        snapshot references (storage reclamation — commits never delete,
+        so without this a year of daily overwrites keeps every
+        superseded file forever).  Time travel now only reaches retained
+        snapshots.  The log rewrite is atomic (tmp + rename) and the
+        legacy-prefix file is folded in; dirs are deleted AFTER the new
+        log is durable, so a crash mid-delete leaves only harmless
+        orphans that the next expire sweeps.  Single-writer contract
+        applies (same as commits).  Returns
+        ``{"expired": n, "deleted_dirs": [...]}``."""
+        import shutil
+
+        log = self._read_manifest()
+        if len(log) <= keep_last:
+            return {"expired": 0, "deleted_dirs": []}
+        kept, expired = log[-keep_last:], log[:-keep_last]
+        referenced = {
+            d for e in kept for dirs in e["mapping"].values() for d in dirs
+        }
+        # candidates: dirs referenced only by expired snapshots
+        doomed = sorted(
+            {
+                d
+                for e in expired
+                for dirs in e["mapping"].values()
+                for d in dirs
+            }
+            - referenced
+        )
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in kept:
+                f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        if os.path.exists(self._legacy_manifest_path):
+            os.remove(self._legacy_manifest_path)  # folded into the JSONL
+        deleted = []
+        for d in doomed:
+            if os.path.exists(d):
+                shutil.rmtree(d)
+                deleted.append(d)
+        return {"expired": len(expired), "deleted_dirs": deleted}
 
     # -- incremental bookkeeping (reference X1 semantics) ---------------
     def new_partitions_vs(self, processed: list[str]) -> list[str]:

@@ -273,3 +273,43 @@ def test_parse_filter_strings(spark, df):
                 "k == other_col"]:        # right side not a literal
         with pytest.raises(ValueError):
             parse_filter_strings([bad])
+
+
+def test_expire_snapshots_reclaims_and_keeps_seq(spark, df, tmp_path):
+    """expire_snapshots deletes version dirs only expired snapshots
+    reference, compacts the log atomically, keeps retained time travel
+    working, and the NEXT write must not reuse a live dir number (the
+    pre-round-4 len(log) seq would have)."""
+    import glob
+    import os
+
+    t = PartitionedTable(str(tmp_path), "t", "grp")
+    ids = []
+    for _ in range(5):
+        ids.append(t.write(df, mode="overwrite_partitions").snapshot_id)
+    assert len(glob.glob(os.path.join(t.data_path, "v*"))) == 5
+    before = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == 3
+    assert sorted(os.path.basename(d) for d in res["deleted_dirs"]) == [
+        "v0000", "v0001", "v0002"]
+    remaining = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(t.data_path, "v*"))
+    )
+    assert remaining == ["v0003", "v0004"]
+
+    after = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # retained time travel works; expired ids are gone
+    assert t.snapshot(ids[-2]).snapshot_id == ids[-2]
+    with pytest.raises(KeyError):
+        t.snapshot(ids[0])
+    # a new write takes a FRESH dir number past every referenced one
+    t.write(df, mode="overwrite_partitions")
+    assert os.path.isdir(os.path.join(t.data_path, "v0005"))
+    assert t.read(spark).count() == len(before)
+    # idempotent when nothing to expire
+    assert t.expire_snapshots(keep_last=10) == {
+        "expired": 0, "deleted_dirs": []}
