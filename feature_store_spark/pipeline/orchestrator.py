@@ -20,6 +20,9 @@ Config keys (dict, or YAML loaded into one):
                     picks from recorded lineage skew; training retrieval
                     probes)
   batch_dates       obs dates per Spark job in materialize (default 16)
+  expire_keep_last  optional: expire all but the newest N snapshots of
+                    the derived tables at the end of run_all (storage
+                    reclamation; truncates time travel — opt-in)
   registry          {"anchors": [...], "derived": [...]} — anchor dicts with
                     name/key/event_time/tiebreak/features/window_features,
                     feature dicts with name/expr/dtype (+ agg/window for
@@ -268,11 +271,31 @@ class FeaturePipeline:
 
         return self._retry(_run, "infer")
 
+    def maintain(self) -> dict:
+        """Storage maintenance on the DERIVED tables (never the inputs):
+        expire all but the newest ``expire_keep_last`` snapshots of the
+        feature / state / offline tables, reclaiming version dirs daily
+        overwrites superseded.  No-op unless configured — expiration
+        truncates time travel, so it is an explicit opt-in."""
+        keep = self.config.get("expire_keep_last")
+        if not keep:
+            return {}
+        out = {}
+        for name, table in (("features", self.features_t),
+                            ("state", self.state_t),
+                            ("offline", self.offline_t)):
+            if table.current_snapshot() is not None:
+                out[name] = table.expire_snapshots(keep_last=int(keep))
+        return out
+
     def run_all(self):
-        """The reference run_all sequence (feature_pipeline.py:167-189)."""
+        """The reference run_all sequence (feature_pipeline.py:167-189),
+        plus optional end-of-run snapshot expiration."""
         self.preprocess_features()
         self.register_features()
         self.get_features_for_training_pipeline()
         self.materialize_online_features()
         self.materialize_offline_features()
-        return self.get_features_for_infer_pipeline()
+        result = self.get_features_for_infer_pipeline()
+        self.maintain()
+        return result
