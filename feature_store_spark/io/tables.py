@@ -298,7 +298,8 @@ class PartitionedTable:
             )
         new_counts = {str(r[0]): int(r[1]) for r in counted}
 
-        prev = self.current_snapshot()
+        # `log` already holds the parsed manifest — don't re-read it
+        prev = self._entry_to_snapshot(log[-1]) if log else None
         if mode == "overwrite" or prev is None:
             mapping = {p: [vdir] for p in new_counts}
             counts = dict(new_counts)
@@ -345,43 +346,80 @@ class PartitionedTable:
         snapshot references (storage reclamation — commits never delete,
         so without this a year of daily overwrites keeps every
         superseded file forever).  Time travel now only reaches retained
-        snapshots.  The log rewrite is atomic (tmp + rename) and the
-        legacy-prefix file is folded in; dirs are deleted AFTER the new
-        log is durable, so a crash mid-delete leaves only harmless
-        orphans that the next expire sweeps.  Single-writer contract
-        applies (same as commits).  Returns
+        snapshots.
+
+        Per-partition METADATA survives expiration: the effective
+        :meth:`partition_info` of partitions whose latest writer is an
+        expired commit is folded into a synthetic ``expire_base`` entry
+        at the head of the compacted log — the incremental pipeline's
+        content-addressed validity checks (``decoded_dirs`` /
+        ``state_kind``) must keep working, or every expire would trigger
+        a permanent full-history recompute.
+
+        The log rewrite is atomic (tmp + rename, legacy-prefix file
+        folded in); deletion targets every on-disk version dir NOT
+        referenced by a retained snapshot — which also sweeps orphans
+        from earlier crashes (torn commits, a prior expire killed
+        mid-delete).  Safe under the single-writer contract: no
+        concurrent commit can be mid-flight.  Returns
         ``{"expired": n, "deleted_dirs": [...]}``."""
+        import glob as _glob
         import shutil
 
         log = self._read_manifest()
-        if len(log) <= keep_last:
-            return {"expired": 0, "deleted_dirs": []}
-        kept, expired = log[-keep_last:], log[:-keep_last]
-        referenced = {
-            d for e in kept for dirs in e["mapping"].values() for d in dirs
-        }
-        # candidates: dirs referenced only by expired snapshots
-        doomed = sorted(
-            {
-                d
-                for e in expired
-                for dirs in e["mapping"].values()
-                for d in dirs
+        kept = log[-keep_last:] if keep_last < len(log) else log
+        expired = log[:-keep_last] if keep_last < len(log) else []
+        if expired:
+            info_before: dict[str, dict] = {}
+            for e in log:
+                pmeta = e.get("partition_meta", {})
+                for p in e.get("touched", []):
+                    info_before[p] = {**e.get("meta", {}), **pmeta.get(p, {})}
+            touched_kept = {
+                p for e in kept for p in e.get("touched", [])
             }
-            - referenced
-        )
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            for e in kept:
-                f.write(json.dumps(e) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path)
-        if os.path.exists(self._legacy_manifest_path):
-            os.remove(self._legacy_manifest_path)  # folded into the JSONL
+            folded = {
+                p: m for p, m in info_before.items() if p not in touched_kept
+            }
+            entries = []
+            if folded:
+                digest = hashlib.sha256(
+                    json.dumps(folded, sort_keys=True).encode()
+                ).hexdigest()[:16]
+                entries.append(
+                    {
+                        "snapshot_id": f"snap-expire-base-{digest}",
+                        "parent": None,
+                        "op": "expire_base",
+                        "partitions": {},
+                        "mapping": {},
+                        # meta MUST stay empty: commit-level meta merges
+                        # into every touched partition's info, and the
+                        # folded values must round-trip exactly
+                        "meta": {},
+                        "partition_meta": folded,
+                        "touched": sorted(folded),
+                    }
+                )
+            entries += kept
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                for e in entries:
+                    f.write(json.dumps(e) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_path)
+            if os.path.exists(self._legacy_manifest_path):
+                os.remove(self._legacy_manifest_path)  # folded into JSONL
+        referenced = {
+            os.path.normpath(d)
+            for e in kept
+            for dirs in e["mapping"].values()
+            for d in dirs
+        }
         deleted = []
-        for d in doomed:
-            if os.path.exists(d):
+        for d in sorted(_glob.glob(os.path.join(self.data_path, "v*"))):
+            if os.path.normpath(d) not in referenced and os.path.isdir(d):
                 shutil.rmtree(d)
                 deleted.append(d)
         return {"expired": len(expired), "deleted_dirs": deleted}

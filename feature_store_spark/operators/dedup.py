@@ -354,6 +354,7 @@ def connected_components(
             handle = new_handle
             old.unpersist()
         else:
+            handle.unpersist()  # error path must not leak the blocks
             raise RuntimeError(
                 f"connected_components did not converge in "
                 f"{max_iterations} rounds (graph diameter exceeds it) — "

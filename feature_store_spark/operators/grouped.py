@@ -99,6 +99,21 @@ def grouped_topk(
     )
 
 
+def quantile_col_name(q: float) -> str:
+    """0.5 → ``q50``, 0.995 → ``q99_5`` — float-exact naming shared by
+    the exact and sketch quantile operators (``int(q*100)`` truncated
+    0.29 to ``q28`` and collided 0.99/0.995 — round-4 review)."""
+    name = "q" + ("%g" % (q * 100)).replace(".", "_")
+    return name
+
+
+def _quantile_names(quantiles: tuple[float, ...]) -> list[str]:
+    names = [quantile_col_name(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles {quantiles} produce colliding names {names}")
+    return names
+
+
 def exact_quantiles(
     df: DataFrame,
     entity: str,
@@ -108,13 +123,14 @@ def exact_quantiles(
     """Per-entity EXACT quantiles — genuinely not window-expressible
     (approx_percentile is the built-in alternative; exact needs the whole
     group).  One output row per entity."""
-    qcols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    names = _quantile_names(quantiles)
+    qcols = ", ".join(f"{name} double" for name in names)
     schema = f"{entity} string, n long, {qcols}"
 
     def _q(pdf: pd.DataFrame) -> pd.DataFrame:
         row = {entity: pdf[entity].iloc[0], "n": len(pdf)}
-        for q in quantiles:
-            row[f"q{int(q * 100)}"] = float(pdf[value_col].quantile(q))
+        for q, name in zip(quantiles, names):
+            row[name] = float(pdf[value_col].quantile(q))
         return pd.DataFrame([row])
 
     return grouped_apply(

@@ -71,10 +71,13 @@ def approx_quantiles(
     (``percentile_approx`` — rank error ≤ 1/accuracy, map-side
     combinable).  Column names match ``exact_quantiles`` (q50, q90, …)
     so the two are drop-in interchangeable across the scale boundary."""
+    from feature_store_spark.operators.grouped import _quantile_names
+
+    names = _quantile_names(quantiles)
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.percentile_approx(
             F.col(value_col), F.lit(q), F.lit(accuracy)
-        ).alias(f"q{int(q * 100)}")
-        for q in quantiles
+        ).alias(name)
+        for q, name in zip(quantiles, names)
     ]
     return df.groupBy(*keys).agg(*aggs)

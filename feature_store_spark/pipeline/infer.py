@@ -86,11 +86,18 @@ class OnlineStore:
 
     def __init__(self, root: str, sink: OnlineSink | None = None):
         self.root = root
-        os.makedirs(root, exist_ok=True)
         self.sink = sink if sink is not None else ParquetKVSink(root)
+        # reads resolve file layout through the SAME ParquetKVSink the
+        # default publishes use — one copy of the path formula (a custom
+        # parquet-compatible sink should subclass ParquetKVSink so reads
+        # follow its layout)
+        self._kv = (
+            self.sink if isinstance(self.sink, ParquetKVSink)
+            else ParquetKVSink(root)
+        )
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.parquet")
+        return self._kv.path(table)
 
     def publish(self, table: str, latest: DataFrame, key: str,
                 defaults: dict | None = None) -> None:

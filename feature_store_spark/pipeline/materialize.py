@@ -567,12 +567,18 @@ def strategy_from_lineage(
     lineage: LineageLog, threshold: float = SKEW_STRATEGY_THRESHOLD
 ) -> str | None:
     """Pick the as-of strategy from the most recent materialize lineage
-    record's ``skew_max_over_mean`` — the skew figure the pipeline already
-    measures every partition — instead of running a fresh counting job
-    (``choose_asof_strategy``'s probe).  None when no record carries a
-    skew figure yet (first ever run)."""
+    record's skew figures instead of running a fresh probe.  The FEATURE
+    side's entity heat (``feature_skew_max_over_mean``, recorded per
+    batch since round 4) is what the sliced strategy exists for — one
+    hot entity's timeline landing in a single union-window task — so it
+    decides when present; the obs-side ``skew_max_over_mean`` is the
+    fallback for pre-round-4 records (round-4 review: obs skew alone
+    mis-picked union under a hot FEATURE entity with uniform obs).
+    None when no record carries either figure yet (first ever run)."""
     for r in reversed(lineage.records()):
-        skew = r.get("skew_max_over_mean")
+        skew = r.get("feature_skew_max_over_mean")
+        if skew is None:
+            skew = r.get("skew_max_over_mean")
         if skew is not None:
             return "sliced" if skew >= threshold else "union"
     return None
@@ -732,6 +738,19 @@ def materialize(
                 .agg(F.max("event_time").alias("wm"))
                 .collect()
             )
+            # FEATURE-side entity heat — what the sliced strategy exists
+            # for; one small per-batch aggregation recorded so the NEXT
+            # batch's "auto" choice keys on the right side's skew
+            fstat = (
+                feats.groupBy("image_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+                .first()
+            )
+            feature_skew = (
+                round(float(fstat["mx"]) / float(fstat["mean"]), 3)
+                if fstat and fstat["mean"] else None
+            )
 
             out_snap = out_table.write(result, mode="overwrite_partitions")
 
@@ -754,6 +773,7 @@ def materialize(
                         round(float(srow["mx"]) / float(srow["mean"]), 3)
                         if srow and srow["mean"] else None
                     ),
+                    "feature_skew_max_over_mean": feature_skew,
                     "watermark": (
                         str(watermark) if watermark is not None else None
                     ),

@@ -199,10 +199,7 @@ def test_auto_strategy_follows_lineage_without_probe(
     choose_asof_strategy (the probing path) is poisoned to prove the
     choice never launches one."""
     import feature_store_spark.operators.asof as asof_mod
-    from feature_store_spark.pipeline.materialize import (
-        SKEW_STRATEGY_THRESHOLD,
-        strategy_from_lineage,
-    )
+    from feature_store_spark.pipeline.materialize import strategy_from_lineage
 
     root, img_pdf, obs_pdf, images_t, obs_t = setup
     out_t = PartitionedTable(f"{root}/auto", "features", "obs_date")
@@ -219,13 +216,19 @@ def test_auto_strategy_follows_lineage_without_probe(
     recs = lin.records()
     # first ever run: no lineage yet → safe default
     assert recs[0]["asof_strategy"] == "sliced"
-    want = ("sliced" if recs[0]["skew_max_over_mean"]
-            >= SKEW_STRATEGY_THRESHOLD else "union")
+    # the record carries BOTH sides' skew (feature side may be None for
+    # an obs date that predates every feature event); the newest record
+    # with either figure decides, feature side preferred
+    assert "feature_skew_max_over_mean" in recs[0]
+    want = strategy_from_lineage(lin)
+    assert want in ("union", "sliced")
     materialize(spark, images_t, obs_t, out_t, ckpt, lin,
                 dates=parts[1:2], asof_strategy="auto")
     assert lin.records()[-1]["asof_strategy"] == want
-    # a recorded hot partition flips the next choice to sliced
-    lin.append({"partition": "synthetic", "skew_max_over_mean": 99.0})
+    # a recorded hot FEATURE entity flips the next choice to sliced even
+    # with placid obs skew (round-4 review: obs skew alone mis-picked)
+    lin.append({"partition": "synthetic", "skew_max_over_mean": 1.0,
+                "feature_skew_max_over_mean": 99.0})
     assert strategy_from_lineage(lin) == "sliced"
     materialize(spark, images_t, obs_t, out_t, ckpt, lin,
                 dates=parts[2:3], asof_strategy="auto")
@@ -467,6 +470,45 @@ def test_stage_b_batching_equals_per_partition(spark, setup, tmp_path):
     assert out["one"][1] == out["many"][1]  # per-partition state rows
     assert out["one"][2] == out["many"][2]  # snapshot cadence
     pd.testing.assert_frame_equal(out["one"][3], out["many"][3])
+
+
+def test_expire_preserves_incremental_validity(spark, setup, tmp_path):
+    """Round-4 review (top finding): snapshot expiration must NOT drop
+    the per-partition content-addressing metadata — otherwise every
+    expire would invalidate the oldest partitions and trigger a
+    permanent full-history window-chain recompute.  After expiring the
+    feature/state tables to keep_last=1, a new update_feature_table run
+    must still be a no-op, and the folded metadata must match."""
+    from feature_store_spark.pipeline.materialize import (
+        feature_lineage_for,
+        read_state_asof,
+        update_feature_table,
+    )
+
+    root, img_pdf, obs_pdf, images_t, obs_t = setup
+    base = str(tmp_path)
+    img_t = PartitionedTable(base, "images", "event_date")
+    img_t.write(spark.createDataFrame(img_pdf), mode="overwrite")
+    feats_t = PartitionedTable(base, "features", "event_date")
+    state_t = PartitionedTable(base, "state", "event_date")
+    flin = feature_lineage_for(feats_t)
+    # several commits per table: batch_parts=2 → one features + one
+    # state commit per 2-partition span
+    update_feature_table(spark, img_t, feats_t, state_t, flin,
+                         state_snapshot_every=3, batch_parts=2)
+    info_before = {"f": feats_t.partition_info(),
+                   "s": state_t.partition_info()}
+    for tbl in (feats_t, state_t):
+        assert len(tbl._read_manifest()) > 1
+        tbl.expire_snapshots(keep_last=1)
+    assert feats_t.partition_info() == info_before["f"]
+    assert state_t.partition_info() == info_before["s"]
+    # validity intact: nothing recomputes
+    assert update_feature_table(spark, img_t, feats_t, state_t, flin,
+                                state_snapshot_every=3, batch_parts=2) == []
+    # reads and state resolution still work after reclamation
+    assert feats_t.read(spark).count() == len(img_pdf)
+    assert read_state_asof(spark, state_t) is not None
 
 
 def test_state_deltas_and_snapshots(spark, setup, tmp_path):
