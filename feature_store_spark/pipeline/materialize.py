@@ -707,6 +707,14 @@ def materialize(
             )
 
         with sliced_cache_scope():
+            # three consumers per batch (as-of, watermark, feature-skew
+            # jobs) — persist the assembled frame once instead of
+            # re-running the state-resolution dedup window per consumer;
+            # registered to the scope, released after the batch commits
+            from feature_store_spark.operators.caches import register_cache
+
+            feats = feats.persist()
+            register_cache(feats)
             result = asof_join(
                 obs,
                 feats.drop("__feat_part"),
