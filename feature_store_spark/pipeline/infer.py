@@ -40,17 +40,34 @@ class OnlineSink:
 
 class ParquetKVSink(OnlineSink):
     """Parquet-backed KV snapshot — the sandbox stand-in for Redis with
-    the same publish semantics (overwrite the feature group's table)."""
+    the same publish semantics (overwrite the feature group's table).
 
-    def __init__(self, root: str):
+    The snapshot is RANGE-PARTITIONED and sorted by the key before
+    writing, so every file (and row group) covers a disjoint key range —
+    ``multi_get``'s pyarrow key-predicate then skips all but the files
+    whose min/max stats overlap the request, instead of scanning every
+    row group of a randomly-laid-out snapshot (point-lookup latency is
+    the whole purpose of a KV snapshot; at 10⁹ entities random layout
+    makes every lookup a full scan)."""
+
+    def __init__(self, root: str, n_files: int | None = None):
         self.root = root
+        self.n_files = n_files  # None: AQE coalesces to target file sizes
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
 
     def write(self, df: DataFrame, table: str, key: str) -> None:
-        df.write.mode("overwrite").parquet(self.path(table))
+        if self.n_files:
+            ranged = df.repartitionByRange(self.n_files, F.col(key))
+        else:
+            ranged = df.repartitionByRange(F.col(key))
+        (
+            ranged.sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )
 
 
 def spark_redis_writer_options(table: str, key: str) -> tuple[str, dict]:

@@ -252,6 +252,50 @@ def test_online_sink_seam(spark, tmp_path):
     assert opts == {"table": "grp", "key.column": "user_id"}
 
 
+def test_parquet_kv_sink_range_layout(spark, tmp_path):
+    """The KV snapshot is range-partitioned + sorted by key: every file
+    covers a disjoint key range (checked via parquet column stats), so
+    multi_get's key predicate prunes to the overlapping files instead of
+    scanning the whole snapshot."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from feature_store_spark.pipeline.infer import ParquetKVSink
+
+    root = str(tmp_path / "online")
+    # n_files pinned: AQE rightly coalesces this tiny snapshot to one
+    # file, which would make the disjointness assertion vacuous
+    store = OnlineStore(root, sink=ParquetKVSink(root, n_files=4))
+    latest = spark.createDataFrame(
+        pd.DataFrame({"user_id": [f"u{i:04d}" for i in range(2000)],
+                      "f": [float(i) for i in range(2000)]})
+    )
+    store.publish("t", latest, key="user_id", defaults={"f": -1.0})
+
+    files = glob.glob(store._path("t") + "/part-*.parquet")
+    assert len(files) > 1  # layout actually split into ranges
+    ranges = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        kidx = md.schema.names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(kidx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint key ranges across files
+
+    served = infer(store, pd.DataFrame({"user_id": ["u0005", "nope"]}),
+                   {"t": "user_id"}).set_index("user_id")
+    assert served.loc["u0005", "f"] == 5.0
+    assert served.loc["nope", "f"] == -1.0  # cold-start default
+
+
 def test_duplicate_anchor_rejected(registry):
     with pytest.raises(ValueError):
         registry.register_anchor(FeatureAnchor(name="user_events", key="k"))
