@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import re
+import warnings
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -112,8 +113,18 @@ class PartitionedTable:
             with open(self._manifest_path, "r+") as f:
                 data = f.read()
                 if data and not data.endswith("\n"):
-                    f.seek(data.rfind("\n") + 1)
-                    f.truncate()
+                    # A newline-less tail that still PARSES is a commit
+                    # readers already accept (_read_manifest tolerates a
+                    # missing final newline) — complete it rather than
+                    # rolling back an observable snapshot.  Only an
+                    # unparseable tail is a true torn write.
+                    tail = data[data.rfind("\n") + 1:]
+                    try:
+                        json.loads(tail)
+                        f.write("\n")
+                    except json.JSONDecodeError:
+                        f.seek(data.rfind("\n") + 1)
+                        f.truncate()
         with open(self._manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
             f.flush()
@@ -331,11 +342,20 @@ class PartitionedTable:
         if partition_meta:
             unknown = set(partition_meta) - set(touched)
             if unknown:
-                raise ValueError(
-                    f"partition_meta for partitions not in this commit: "
-                    f"{sorted(unknown)}"
+                # A planned partition can legitimately produce zero rows
+                # (e.g. an upstream commit leaving an empty partition in a
+                # batched span) — dropping its overlay must not turn the
+                # whole batched commit into a persistent crash.
+                warnings.warn(
+                    f"{self.path}: dropping partition_meta for partitions "
+                    f"with no rows in this commit: {sorted(unknown)}",
+                    stacklevel=2,
                 )
-            entry["partition_meta"] = partition_meta
+                partition_meta = {
+                    p: m for p, m in partition_meta.items() if p in touched
+                }
+            if partition_meta:
+                entry["partition_meta"] = partition_meta
         self._append_manifest(entry)
         return Snapshot(snap_id, counts, mode, mapping, meta or {}, touched)
 
@@ -367,8 +387,19 @@ class PartitionedTable:
         import shutil
 
         log = self._read_manifest()
-        kept = log[-keep_last:] if keep_last < len(log) else log
-        expired = log[:-keep_last] if keep_last < len(log) else []
+        # keep_last counts REAL snapshots only: after one expiration the
+        # log head holds a synthetic ``expire_base`` entry, and counting
+        # it would silently retain keep_last-1 real snapshots.  The
+        # expire_base always sits at the head, so cutting at the
+        # keep_last-th real entry from the end expires it too — its
+        # folded metadata is re-folded into the new expire_base below.
+        real = [e for e in log if e.get("op") != "expire_base"]
+        if keep_last < len(real):
+            cutoff = log.index(real[-keep_last])
+        else:
+            cutoff = 0
+        kept = log[cutoff:]
+        expired = log[:cutoff]
         if expired:
             info_before: dict[str, dict] = {}
             for e in log:
@@ -437,35 +468,69 @@ _AST_FILTER_OPS = {
 }
 
 
+_AST_FLIPPED_OPS = {
+    "=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<=",
+}
+
+
 def parse_filter_strings(filters: list[str]) -> list[tuple]:
-    """Reference P7 (``base/utils/utils.py:103-163``): each string is ONE
-    pandas-query-style comparison ``col OP literal`` (e.g. ``"a > 1"``,
-    ``"t == 'click'"``, ``"k in [1, 2]"``); a list of strings is ANDed.
-    Parsed with the Python expression grammar, so literals arrive as real
-    typed values (ints, floats, strings, lists for ``in``), then handed
-    to :func:`apply_filter_spec` — config-file sugar over the tuple ops.
+    """Reference P7 (``base/utils/utils.py:103-163``): pandas-query-style
+    filter strings lowered to tuple specs.  Each string is a conjunction
+    of comparisons ``col OP literal`` (e.g. ``"a > 1"``,
+    ``"t == 'click'"``, ``"k in [1, 2]"``, ``"a > 1 and b in [1, 2]"``,
+    chained ``"1 < a <= 5"``); a list of strings is ANDed, as is ``and``
+    within one string (the reference accepts single comparisons only;
+    users write compound pandas-query strings, so ``ast.BoolOp(And)``
+    and chained comparisons lower to multiple tuples).  ``or`` is
+    rejected — the tuple spec is a pure conjunction.  Literal-first
+    comparisons (``"5 > a"``) flip the operator.  Parsed with the Python
+    expression grammar, so literals arrive as real typed values (ints,
+    floats, strings, lists for ``in``), then handed to
+    :func:`apply_filter_spec` — config-file sugar over the tuple ops.
     """
     import ast
 
-    out = []
-    for q in filters:
-        node = ast.parse(q, mode="eval").body
-        if not isinstance(node, ast.Compare) or len(node.ops) != 1:
-            raise ValueError(
-                f"filter {q!r}: want exactly one comparison 'col OP literal'"
-            )
-        if not isinstance(node.left, ast.Name):
-            raise ValueError(f"filter {q!r}: left side must be a column name")
-        op = _AST_FILTER_OPS.get(type(node.ops[0]).__name__)
+    def lower_pair(q: str, left: ast.expr, opname: str, right: ast.expr):
+        op = _AST_FILTER_OPS.get(opname)
         if op is None:
             raise ValueError(f"filter {q!r}: unsupported operator")
+        if isinstance(left, ast.Name):
+            col, lit = left.id, right
+        elif isinstance(right, ast.Name) and op not in ("in", "not in"):
+            col, lit, op = right.id, left, _AST_FLIPPED_OPS[op]
+        else:
+            raise ValueError(
+                f"filter {q!r}: one side must be a column name"
+            )
         try:
-            val = ast.literal_eval(node.comparators[0])
+            val = ast.literal_eval(lit)
         except ValueError as e:
             raise ValueError(
-                f"filter {q!r}: right side must be a literal"
+                f"filter {q!r}: comparison value must be a literal"
             ) from e
-        out.append((node.left.id, op, val))
+        return (col, op, val)
+
+    def lower(q: str, node: ast.expr) -> list[tuple]:
+        if isinstance(node, ast.BoolOp):
+            if not isinstance(node.op, ast.And):
+                raise ValueError(
+                    f"filter {q!r}: only 'and' conjunctions are supported"
+                )
+            return [t for v in node.values for t in lower(q, v)]
+        if isinstance(node, ast.Compare):
+            operands = [node.left, *node.comparators]
+            return [
+                lower_pair(q, operands[i], type(op).__name__, operands[i + 1])
+                for i, op in enumerate(node.ops)
+            ]
+        raise ValueError(
+            f"filter {q!r}: want comparisons 'col OP literal' "
+            "joined by 'and'"
+        )
+
+    out: list[tuple] = []
+    for q in filters:
+        out.extend(lower(q, ast.parse(q, mode="eval").body))
     return out
 
 

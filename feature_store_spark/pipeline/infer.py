@@ -107,13 +107,21 @@ class OnlineStore:
         # reads resolve file layout through the SAME ParquetKVSink the
         # default publishes use — one copy of the path formula (a custom
         # parquet-compatible sink should subclass ParquetKVSink so reads
-        # follow its layout)
-        self._kv = (
-            self.sink if isinstance(self.sink, ParquetKVSink)
-            else ParquetKVSink(root)
-        )
+        # follow its layout).  For an EXTERNAL sink (SparkRedisSink) the
+        # parquet read path was never written: reads must fail loudly
+        # (round-4 review: a silent fallback served FileNotFound or stale
+        # data), so _kv is None and serving reads raise below.
+        self._kv = self.sink if isinstance(self.sink, ParquetKVSink) else None
 
     def _path(self, table: str) -> str:
+        if self._kv is None:
+            raise NotImplementedError(
+                f"serving reads are parquet-specific; the configured sink "
+                f"({type(self.sink).__name__}) writes an external store "
+                "that this process never populates locally — serve point "
+                "lookups with that store's own client (e.g. a Redis "
+                "client against the same key/sentinel layout)"
+            )
         return self._kv.path(table)
 
     def publish(self, table: str, latest: DataFrame, key: str,

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from feature_store_spark.functions.images import with_image_features
 from feature_store_spark.io.tables import PartitionedTable
 from feature_store_spark.operators.asof import (
+    SKEW_STRATEGY_THRESHOLD,
     asof_join,
     duration_to_us,
     sliced_cache_scope,
@@ -527,13 +528,22 @@ def update_feature_table(
         )
         if lineage is not None:
             for part in span:
+                # per-partition context = every READY-or-in-span partition
+                # inside the rolling window BY DATE RANGE — a count-based
+                # [-ROLL_CTX_DAYS:] slice misstated the real inputs for
+                # early/mid-span partitions (round-4 review: it dropped
+                # pre-span context and included out-of-window neighbors
+                # when partition dates are sparse)
+                part_lo = _date_minus(part, ROLL_CTX_DAYS)
                 lineage.append(
                     {
                         "kind": "feature_update",
                         "partition": part,
                         "input_snapshot": snap.snapshot_id,
-                        "ctx_partitions": ctx_parts if part == first else
-                        [p for p in span if p < part][-ROLL_CTX_DAYS:],
+                        "ctx_partitions": [
+                            q for q in (ready + list(span))
+                            if part_lo <= q < part
+                        ],
                         "state_kind": kinds[part],
                     }
                 )
@@ -557,10 +567,9 @@ def feature_lineage_for(features_table: PartitionedTable) -> LineageLog:
     return LineageLog(os.path.join(features_table.path, "_lineage.jsonl"))
 
 
-# obs skew (max obs-per-entity / mean) above which the sliced as-of is
-# chosen by strategy="auto"; below it the union plan is cheaper (one
-# shuffle, no carry join)
-SKEW_STRATEGY_THRESHOLD = 10.0
+# SKEW_STRATEGY_THRESHOLD is defined next to the probe in operators.asof
+# (re-exported via the import above) so the lineage pick and the probe
+# share ONE metric (max rows-per-entity / mean) and one threshold.
 
 
 def strategy_from_lineage(

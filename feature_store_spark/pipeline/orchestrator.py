@@ -16,9 +16,9 @@ Config keys (dict, or YAML loaded into one):
   job_retry         attempts per stage (default 3)
   job_retry_sec     backoff seconds between attempts (default 0)
   num_date_eval     offline eval window: last N obs dates (default all)
-  asof_strategy     "sliced" (default), "union", or "auto" (materialize
-                    picks from recorded lineage skew; training retrieval
-                    probes)
+  asof_strategy     "auto" (default: materialize picks from recorded
+                    lineage skew — free; training retrieval probes),
+                    "sliced", or "union"
   batch_dates       obs dates per Spark job in materialize (default 16)
   expire_keep_last  optional: expire all but the newest N snapshots of
                     the derived tables at the end of run_all (storage
@@ -125,7 +125,7 @@ class FeaturePipeline:
         self.out = config["output_path"]
         self.retries = int(config.get("job_retry", 3))
         self.backoff = float(config.get("job_retry_sec", 0))
-        self.asof_strategy = config.get("asof_strategy", "sliced")
+        self.asof_strategy = config.get("asof_strategy", "auto")
         self.batch_dates = int(config.get("batch_dates", 16))
         self.images_t = PartitionedTable(self.out, "images", "event_date")
         self.obs_t = PartitionedTable(self.out, "observations", "obs_date")

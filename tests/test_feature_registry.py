@@ -252,6 +252,23 @@ def test_online_sink_seam(spark, tmp_path):
     assert opts == {"table": "grp", "key.column": "user_id"}
 
 
+def test_external_sink_reads_raise(tmp_path):
+    """Round-5 ADVICE fix: an OnlineStore configured with an external
+    (non-parquet) sink must refuse serving reads loudly — the silent
+    ParquetKVSink fallback read a path the sink never wrote."""
+    from feature_store_spark.pipeline.infer import OnlineSink, OnlineStore
+
+    class NullExternalSink(OnlineSink):
+        def write(self, df, table, key):
+            pass  # ships rows to an external store this process can't read
+
+    store = OnlineStore(str(tmp_path / "online"), sink=NullExternalSink())
+    with pytest.raises(NotImplementedError, match="parquet-specific"):
+        store.multi_get("grp", [1], "user_id")
+    with pytest.raises(NotImplementedError, match="parquet-specific"):
+        store.get_defaults("grp", "user_id")
+
+
 def test_parquet_kv_sink_range_layout(spark, tmp_path):
     """The KV snapshot is range-partitioned + sorted by key: every file
     covers a disjoint key range (checked via parquet column stats), so

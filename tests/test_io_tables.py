@@ -267,10 +267,21 @@ def test_parse_filter_strings(spark, df):
     got = apply_filter_strings(df, ["k in [1, 2, 3]", "grp == 'a'", "k > 1"])
     assert [r["k"] for r in got.collect()] == [2]
 
-    for bad in ["k > 1 and grp == 'a'",   # two comparisons
-                "1 < k",                  # left side not a column
+    # round-5: compound 'and' strings, chained comparisons, literal-first
+    # comparisons all lower to the same conjunction of tuples
+    assert parse_filter_strings(["k > 1 and grp in ['a', 'b']"]) == [
+        ("k", ">", 1), ("grp", "in", ["a", "b"])]
+    assert parse_filter_strings(["1 < k <= 5"]) == [
+        ("k", ">", 1), ("k", "<=", 5)]
+    assert parse_filter_strings(["5 >= k", "3 != k"]) == [
+        ("k", "<=", 5), ("k", "!=", 3)]
+    got = apply_filter_strings(df, ["k in [1, 2, 3] and grp == 'a' and k > 1"])
+    assert [r["k"] for r in got.collect()] == [2]
+
+    for bad in ["k > 1 or grp == 'a'",    # disjunction: not a pure AND spec
                 "k ** 2",                 # not a comparison
-                "k == other_col"]:        # right side not a literal
+                "1 in k",                 # 'in' needs the column on the left
+                "k == other_col"]:        # neither side a literal
         with pytest.raises(ValueError):
             parse_filter_strings([bad])
 
@@ -313,3 +324,66 @@ def test_expire_snapshots_reclaims_and_keeps_seq(spark, df, tmp_path):
     # idempotent when nothing to expire
     assert t.expire_snapshots(keep_last=10) == {
         "expired": 0, "deleted_dirs": []}
+
+
+def test_expire_keep_last_counts_real_snapshots_only(spark, df, tmp_path):
+    """Round-5 fix: the synthetic expire_base head entry must not count
+    toward keep_last — expire → commit ×3 → expire(keep_last=3) retains
+    exactly the 3 real snapshots (pre-fix it kept only 2)."""
+    t = PartitionedTable(str(tmp_path), "t", "grp")
+    for _ in range(4):
+        t.write(df, mode="overwrite_partitions",
+                meta={"src": "old"})
+    t.expire_snapshots(keep_last=1)
+    log = t._read_manifest()
+    assert [e["op"] for e in log][0] != "expire_base" or len(log) == 2
+
+    ids = [t.write(df, mode="overwrite_partitions").snapshot_id
+           for _ in range(3)]
+    t.expire_snapshots(keep_last=3)
+    real = [e for e in t._read_manifest() if e["op"] != "expire_base"]
+    assert [e["snapshot_id"] for e in real] == ids  # all 3 retained
+    for sid in ids:
+        assert t.snapshot(sid).snapshot_id == sid
+    # a second expire_base never stacks: at most one synthetic head
+    assert [e["op"] for e in t._read_manifest()].count("expire_base") <= 1
+
+
+def test_manifest_parseable_newlineless_tail_is_completed(tmp_path):
+    """Round-5 ADVICE fix: a final manifest line whose JSON flushed but
+    whose newline did not is already observable to readers — the next
+    append must complete it with the missing newline, not roll it back."""
+    import json
+
+    t = PartitionedTable(str(tmp_path), "t", "d")
+    t._append_manifest({"snapshot_id": "snap-a", "op": "append",
+                        "partitions": {}, "mapping": {}, "meta": {},
+                        "touched": []})
+    with open(t._manifest_path, "a") as f:  # complete JSON, no newline
+        f.write(json.dumps({"snapshot_id": "snap-b", "op": "append",
+                            "partitions": {}, "mapping": {}, "meta": {},
+                            "touched": []}))
+    assert [e["snapshot_id"] for e in t._read_manifest()] == [
+        "snap-a", "snap-b"]  # visible before repair
+    t._append_manifest({"snapshot_id": "snap-c", "op": "append",
+                        "partitions": {}, "mapping": {}, "meta": {},
+                        "touched": []})
+    assert [e["snapshot_id"] for e in t._read_manifest()] == [
+        "snap-a", "snap-b", "snap-c"]  # still visible after
+
+
+def test_partition_meta_for_zero_row_partition_warns_not_raises(
+    spark, df, tmp_path
+):
+    """Round-5 ADVICE fix: a batched commit planning meta for a partition
+    that produced no rows drops that overlay with a warning instead of
+    failing the whole commit."""
+    t = PartitionedTable(str(tmp_path), "t", "grp")
+    with pytest.warns(UserWarning, match="no rows"):
+        snap = t.write(
+            df, mode="overwrite_partitions",
+            partition_meta={"a": {"src": 1}, "ghost": {"src": 2}},
+        )
+    assert "ghost" not in snap.partitions
+    assert t.partition_info()["a"] == {"src": 1}
+    assert "ghost" not in t.partition_info()

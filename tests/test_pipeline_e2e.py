@@ -260,6 +260,20 @@ def test_decode_once_across_dates(spark, setup):
     recs = [r for r in flin.records() if r["kind"] == "feature_update"]
     assert len(recs) == len(images_t.partitions())
     assert len({r["partition"] for r in recs}) == len(recs)
+    # round-5 ADVICE fix: every record's ctx_partitions is exactly the
+    # earlier partitions inside the rolling window BY DATE RANGE (the old
+    # count-based slice omitted pre-span context for early-span parts)
+    from feature_store_spark.pipeline.materialize import (
+        ROLL_CTX_DAYS,
+        _date_minus,
+    )
+
+    all_parts = images_t.partitions()
+    for r in recs:
+        want = [q for q in all_parts
+                if _date_minus(r["partition"], ROLL_CTX_DAYS) <= q
+                < r["partition"]]
+        assert r["ctx_partitions"] == want, r["partition"]
 
 
 def test_incremental_append_decodes_only_new(spark, setup, tmp_path):

@@ -181,3 +181,35 @@ def test_grouped_topk_salted_equals_window(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want), (n_salt, parts)
+
+
+def test_grouped_topk_spreads_identical_duplicates(spark):
+    """Round-5 ADVICE fix: a hot key made of byte-identical duplicate
+    rows must still spread across salt buckets (a content-only salt put
+    them all in one, regaining the single-task skew), and the result is
+    still an exact top-k (duplicates are interchangeable)."""
+    from feature_store_spark.operators.grouped import grouped_topk
+
+    # 4000 identical rows for the hot key + a few distinct cold rows
+    hot = spark.range(4000).select(
+        F.lit(7).alias("user_id"), F.lit(1.5).alias("value"))
+    cold = spark.range(10).select(
+        (F.col("id") % 3 + 100).cast("int").alias("user_id"),
+        (F.col("id") * 1.0).alias("value"))
+    df = hot.unionByName(cold).repartition(8)
+
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns])
+        + F.monotonically_increasing_id(), F.lit(16))
+    n_buckets = (
+        df.where(F.col("user_id") == 7).select(salt.alias("s"))
+        .distinct().count()
+    )
+    assert n_buckets >= 8  # duplicates spread, not collapsed to one bucket
+
+    got = grouped_topk(df, "user_id", [F.col("value").desc()], k=3,
+                       n_salt=16).toPandas()
+    hot_rows = got[got.user_id == 7]
+    assert len(hot_rows) == 3
+    assert (hot_rows.value == 1.5).all()
+    assert sorted(hot_rows.rnk) == [1, 2, 3]
