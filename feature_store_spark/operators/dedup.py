@@ -11,6 +11,8 @@ parallelism and bit-identical to the SQL oracles in
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -265,11 +267,116 @@ class _LocalCheckpointHandle:
             self._jrdd = None
 
 
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log² n) rounds REGARDLESS of graph diameter,
+    the scale path for adversarial high-diameter graphs (a crawl of
+    templated pages chaining pairwise-similar docs) where min-label
+    propagation needs diameter rounds.  Same output contract as
+    :func:`connected_components`: one ``(node, component)`` row per node
+    in any edge, component = min node id of the component.
+
+    Each round is two shuffle stages over the CURRENT edge set (which
+    only shrinks toward a star forest — no frontier blow-up):
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its neighborhood ∪ itself (processed once per undirected edge,
+      at the smaller endpoint);
+    - small-star: every node links its smaller neighbors ∪ itself to
+      the minimum of that set (edges directed larger → smaller).
+
+    Both preserve connectivity and never create new components; the
+    fixed point is a star forest with every node linked directly to its
+    component minimum.  Convergence = edge set unchanged over one
+    large+small pair (``exceptAll`` both ways — two small shuffles on
+    the already-contracted set).  Per-round frames are eagerly
+    ``localCheckpoint``'ed (plans reference each round twice; lineage
+    must not double) and superseded checkpoint blocks are freed
+    immediately, exactly like the propagation path."""
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        ).where(F.col("hi") != F.col("lo")).distinct()
+
+    cur = _canon(
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    handle = _LocalCheckpointHandle(cur)
+    for _ in range(max_rounds):
+        # large-star: per node u, m = min over its FULL neighborhood ∪
+        # itself; every LARGER neighbor v links to m
+        sym = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+            .unionByName(cur.select(F.col("hi").alias("u"),
+                                    F.col("lo").alias("v")))
+        m_large = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon(
+            sym.where(F.col("v") > F.col("u"))
+            .join(m_large, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint(eager=True)
+        large_handle = _LocalCheckpointHandle(large)
+
+        # small-star: edges directed larger u → smaller v;
+        # m = min(nbrs) (< u); link u and every other small nbr to m
+        sadj = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_small = sadj.groupBy("u").agg(F.min("v").alias("m"))
+        linked = sadj.join(m_small, on="u")
+        new = _canon(
+            linked.select(F.col("u"), F.col("m").alias("v"))
+            .unionByName(linked.select(F.col("v").alias("u"),
+                                       F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+        new_handle = _LocalCheckpointHandle(new)
+        large_handle.unpersist()
+
+        changed = (
+            new.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(new).limit(1).count()
+        )
+        old_handle, handle, cur = handle, new_handle, new
+        old_handle.unpersist()
+        if changed == 0:
+            break
+    else:
+        handle.unpersist()
+        raise RuntimeError(
+            f"star-contraction did not converge in {max_rounds} rounds "
+            "(bound is O(log² n) — raise max_rounds)"
+        )
+    # fixed point = star forest: hi → its component min lo; centers map
+    # to themselves.  groupBy-min is belt and braces for ties.
+    from feature_store_spark.operators.caches import register_cache
+
+    labels = (
+        cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .unionByName(
+            cur.select(F.col("lo").alias("node"),
+                       F.col("lo").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    register_cache(_LocalCheckpointHandle(labels))
+    handle.unpersist()
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iterations: int = 25,
+    on_nonconvergence: str = "star",
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node appearing in any edge: ``(node, component)`` with component = the
@@ -279,10 +386,12 @@ def connected_components(
     Algorithm: min-label propagation — each round every node takes the
     minimum label among itself and its neighbors; converges in
     ``graph diameter`` rounds.  Near-duplicate clusters (the intended
-    input: LSH candidate pairs) are dense, so diameter is tiny (≲3); for
-    adversarially long path graphs at extreme scale, swap in the
-    alternating large-star/small-star rounds (Kiveris et al., SoCC'14) —
-    same per-round DataFrame shape, O(log²) rounds.
+    input: LSH candidate pairs) are dense, so diameter is tiny (≲3).  If
+    the diameter exceeds ``max_iterations`` (an adversarial chain of
+    pairwise-similar docs — a crawl of templated pages), the run FALLS
+    BACK to :func:`connected_components_star` (O(log² n) rounds at any
+    diameter) when ``on_nonconvergence="star"`` (default), or raises
+    with ``on_nonconvergence="raise"``.
 
     Scale notes (round-4 rework of both round-3 blemishes): the
     ``__changed`` flag (label strictly decreased; labels are monotone
@@ -354,11 +463,19 @@ def connected_components(
             handle = new_handle
             old.unpersist()
         else:
-            handle.unpersist()  # error path must not leak the blocks
+            handle.unpersist()  # non-convergence must not leak the blocks
+            if on_nonconvergence == "star":
+                warnings.warn(
+                    f"connected_components: no convergence in "
+                    f"{max_iterations} rounds (graph diameter exceeds "
+                    "it) — falling back to star-contraction",
+                    stacklevel=2,
+                )
+                return connected_components_star(edges, id_a, id_b)
             raise RuntimeError(
                 f"connected_components did not converge in "
                 f"{max_iterations} rounds (graph diameter exceeds it) — "
-                "raise max_iterations or use star-contraction rounds"
+                "raise max_iterations or use connected_components_star"
             )
     finally:
         sym.unpersist()
