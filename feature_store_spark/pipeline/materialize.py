@@ -286,6 +286,99 @@ def default_decoded_table(
     return PartitionedTable(features_table.path, "_decoded", partition_col)
 
 
+def default_sketch_table(
+    features_table: PartitionedTable, partition_col: str
+) -> PartitionedTable:
+    return PartitionedTable(features_table.path, "_sketches", partition_col)
+
+
+# decode stats summarized per partition into mergeable KLL sketches
+SKETCH_VALUE_COLS = ["mean_r", "std_r"]
+
+
+def update_sketch_table(
+    spark: SparkSession,
+    decoded_table: PartitionedTable,
+    sketch_table: PartitionedTable,
+    dec_map: dict[str, list[str]],
+) -> list[str]:
+    """Maintain the per-partition SKETCH table next to the decoded table:
+    one row per image partition holding mergeable summaries — row count,
+    a DataSketches HLL over ``image_id`` (distinct entities) and a KLL
+    quantile sketch per decode stat (:data:`SKETCH_VALUE_COLS`).
+
+    Content-addressed per partition by the decoded dirs (same validity
+    key as stage B), so an incremental update or backfill re-sketches
+    exactly the changed partitions — ONE small aggregation job over the
+    just-decoded parquet (never a decode, never history).  Corpus-level
+    stats are then resolved by :func:`corpus_feature_stats` from this
+    tiny table alone: re-aggregation without re-scan, at any history
+    length.  Returns the partitions re-sketched."""
+    sk_info = (
+        sketch_table.partition_info()
+        if sketch_table.current_snapshot() else {}
+    )
+    changed = [
+        p for p in sorted(dec_map)
+        if sk_info.get(p, {}).get("decoded_dirs") != sorted(dec_map[p])
+    ]
+    if not changed:
+        return []
+    pcol = decoded_table.partition_col
+    decoded = decoded_table.read(spark, partitions=changed)
+    sketches = decoded.groupBy(F.col(pcol).alias(sketch_table.partition_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg("image_id").alias("entity_hll"),
+        *[
+            F.kll_sketch_agg_double(F.col(c).cast("double"))
+            .alias(f"{c}_kll")
+            for c in SKETCH_VALUE_COLS
+        ],
+    )
+    sketch_table.write(
+        sketches,
+        mode="overwrite_partitions",
+        partition_meta={
+            p: {"decoded_dirs": sorted(dec_map[p])} for p in changed
+        },
+    )
+    return changed
+
+
+def corpus_feature_stats(
+    spark: SparkSession,
+    sketch_table: PartitionedTable,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Corpus-level stats from the sketch table ALONE (no history scan):
+    total rows, approx distinct entities (HLL union), and approximate
+    quantiles of each decode stat (KLL merge) — one output row.  Column
+    names follow ``<col>_q50`` etc. (:func:`quantile_col_name`)."""
+    from feature_store_spark.operators.grouped import _quantile_names
+
+    names = _quantile_names(quantiles)
+    df = sketch_table.read(spark)
+    merged = df.agg(
+        F.sum("n").alias("rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("entity_hll"))
+        .cast("long").alias("approx_distinct_entities"),
+        *[
+            F.kll_merge_agg_double(f"{c}_kll").alias(f"__{c}")
+            for c in SKETCH_VALUE_COLS
+        ],
+    )
+    return merged.select(
+        "rows",
+        "approx_distinct_entities",
+        *[
+            F.kll_sketch_get_quantile_double(f"__{c}", F.lit(q))
+            .alias(f"{c}_{name}")
+            for c in SKETCH_VALUE_COLS
+            for q, name in zip(quantiles, names)
+        ],
+    )
+
+
 def read_state_asof(
     spark: SparkSession,
     state_table: PartitionedTable,
@@ -327,13 +420,18 @@ def update_feature_table(
     decoded_table: PartitionedTable | None = None,
     state_snapshot_every: int = 10,
     batch_parts: int = 32,
+    sketch_table: PartitionedTable | None = None,
 ) -> list[str]:
     """Bring the decoded / feature / state tables up to date with the
     images table's current snapshot.
 
     Stage A (decode): each image partition whose OWN input dirs changed is
     decoded into ``decoded_table`` in ONE batched commit — nothing
-    cascades, backfills re-decode exactly the changed partitions.
+    cascades, backfills re-decode exactly the changed partitions.  A
+    sketch stage follows (:func:`update_sketch_table`): per-partition
+    mergeable summaries (HLL entities, KLL decode-stat quantiles) in
+    ``sketch_table``, content-addressed the same way, so corpus stats
+    resolve from sketches alone (:func:`corpus_feature_stats`).
 
     Stage B (window chain): feature partitions (decoded cols + window
     cols) recompute forward from the first partition whose features or
@@ -407,6 +505,16 @@ def update_feature_table(
                     }
                 )
     dec_map = decoded_table.current_snapshot().mapping
+
+    # -- stage A': per-partition mergeable sketches over the decoded
+    # stats (content-addressed like stage B, so only changed partitions
+    # re-sketch; corpus stats resolve from the sketch table without ever
+    # re-scanning history — see corpus_feature_stats)
+    if sketch_table is None:
+        sketch_table = default_sketch_table(
+            features_table, images_table.partition_col
+        )
+    update_sketch_table(spark, decoded_table, sketch_table, dec_map)
 
     # -- stage B: window chain forward from the first invalid partition --
     f_info = (
