@@ -43,12 +43,15 @@ class ParquetKVSink(OnlineSink):
     the same publish semantics (overwrite the feature group's table).
 
     The snapshot is RANGE-PARTITIONED and sorted by the key before
-    writing, so every file (and row group) covers a disjoint key range —
-    ``multi_get``'s pyarrow key-predicate then skips all but the files
-    whose min/max stats overlap the request, instead of scanning every
-    row group of a randomly-laid-out snapshot (point-lookup latency is
-    the whole purpose of a KV snapshot; at 10⁹ entities random layout
-    makes every lookup a full scan)."""
+    writing, so every file covers a disjoint key range, and publish
+    records each file's (min, max) key in a sidecar manifest
+    (``<table>.ranges.json``).  ``multi_get`` then opens ONLY the files
+    whose range intersects the requested keys — a 16-key request against
+    a 10⁹-entity snapshot touches ≤16 files instead of every footer
+    (measured: scripts/bench_kv_lookup.py; plain row-group-stats
+    pruning alone showed ~1.0× because Arrow still opens every
+    fragment).  Under a random layout every file's range spans the whole
+    key space and no file can be skipped."""
 
     def __init__(self, root: str, n_files: int | None = None):
         self.root = root
@@ -57,6 +60,9 @@ class ParquetKVSink(OnlineSink):
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
+
+    def ranges_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.ranges.json")
 
     def write(self, df: DataFrame, table: str, key: str) -> None:
         if self.n_files:
@@ -68,6 +74,60 @@ class ParquetKVSink(OnlineSink):
             .write.mode("overwrite")
             .parquet(self.path(table))
         )
+        self._write_ranges(table, key)
+
+    def _write_ranges(self, table: str, key: str) -> None:
+        """Per-file key ranges from the parquet footers (one cheap
+        metadata pass at publish; rewritten atomically so a crashed
+        publish leaves either the old manifest or the new one)."""
+        import glob as _glob
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        entries = []
+        for f in sorted(_glob.glob(os.path.join(self.path(table),
+                                                "*.parquet"))):
+            md = _pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[key]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:  # no stats: file can never be pruned
+                entries.append({"file": os.path.basename(f),
+                                "min": None, "max": None})
+            else:
+                entries.append({"file": os.path.basename(f),
+                                "min": min(mins), "max": max(maxs)})
+        tmp = self.ranges_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"key": key, "files": entries}, fh)
+        os.replace(tmp, self.ranges_path(table))
+
+    def files_for_keys(self, table: str, keys: list[str]) -> list[str] | None:
+        """Data files whose key range intersects ``keys``; None when no
+        ranges manifest exists (fall back to the whole dataset)."""
+        import json as _json
+
+        rp = self.ranges_path(table)
+        if not os.path.exists(rp):
+            return None
+        with open(rp) as fh:
+            man = _json.load(fh)
+        base = self.path(table)
+        out = []
+        for e in man["files"]:
+            if e["min"] is None or any(
+                e["min"] <= k <= e["max"] for k in keys
+            ):
+                out.append(os.path.join(base, e["file"]))
+        return out
 
 
 def spark_redis_writer_options(table: str, key: str) -> tuple[str, dict]:
@@ -157,20 +217,39 @@ class OnlineStore:
             out = sentinel.unionByName(out)
         self.sink.write(out, table, key)
 
-    def multi_get(self, table: str, keys: list, key: str) -> pd.DataFrame:
-        """Fetch rows for the requested keys (the Redis multi-get).
+    def _read_pruned(
+        self, table: str, skeys: list[str], filters: list
+    ) -> pd.DataFrame:
+        """Read only the snapshot files whose key range intersects the
+        request (ranges manifest written at publish — file-level pruning;
+        the pyarrow predicate then filters rows within them).  Falls back
+        to the whole dataset when no manifest exists (pre-round-5
+        snapshots)."""
+        base = self._path(table)  # raises for external (non-parquet) sinks
+        paths = self._kv.files_for_keys(table, skeys)
+        if paths is None:
+            return pd.read_parquet(base, filters=filters)
+        if not paths:  # no file can hold any requested key
+            import glob as _glob
 
-        Row-group pruning via a pyarrow predicate — only groups whose key
-        stats overlap the request are read, not the full snapshot."""
-        pdf = pd.read_parquet(
-            self._path(table),
-            filters=[(key, "in", [str(k) for k in keys])],
-        )
+            import pyarrow.parquet as _pq
+
+            files = sorted(_glob.glob(os.path.join(base, "*.parquet")))
+            return _pq.ParquetFile(files[0]).schema_arrow.empty_table() \
+                .to_pandas()
+        return pd.read_parquet(paths, filters=filters)
+
+    def multi_get(self, table: str, keys: list, key: str) -> pd.DataFrame:
+        """Fetch rows for the requested keys (the Redis multi-get):
+        file-level pruning via the publish-time ranges manifest, then a
+        pyarrow key predicate inside the touched files."""
+        skeys = [str(k) for k in keys]
+        pdf = self._read_pruned(table, skeys, [(key, "in", skeys)])
         return pdf.reset_index(drop=True)
 
     def get_defaults(self, table: str, key: str) -> pd.Series | None:
-        pdf = pd.read_parquet(
-            self._path(table), filters=[(key, "==", DEFAULT_KEY)]
+        pdf = self._read_pruned(
+            table, [DEFAULT_KEY], [(key, "==", DEFAULT_KEY)]
         )
         return pdf.iloc[0] if len(pdf) else None
 
