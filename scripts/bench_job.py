@@ -171,6 +171,7 @@ def main() -> None:
 
     # ---- phase 2: image feature materialization (decode-heavy) --------
     if phase not in ("all", "image"):
+        out["cores_end"] = spark.sparkContext.defaultParallelism
         print("BENCHJSON " + json.dumps(out))
         return
 
@@ -202,6 +203,10 @@ def main() -> None:
 
     if "asof_sec" in out and "image_sec" in out:
         out["total_sec"] = round(out["asof_sec"] + out["image_sec"], 2)
+    # registered cores at END of the measured phases: local-cluster
+    # executors can register late (after the job started), so a sample is
+    # valid only when cores == cores_end == the expected count
+    out["cores_end"] = spark.sparkContext.defaultParallelism
     print("BENCHJSON " + json.dumps(out))
 
 
