@@ -217,6 +217,20 @@ def previous_bench() -> tuple[str | None, dict]:
                 if line.startswith('{"metric"'):
                     doc = json.loads(line)
                     break
+        if "queries" not in doc and isinstance(doc.get("tail"), str):
+            # the wrapper's tail holds only the LAST N bytes of stdout, so
+            # the metric line's head can be cut mid-"queries" (r04 lost
+            # '{"metric": ... "queries": {"<first>":').  The remaining
+            # fragment is the original object's exact suffix: prepending
+            # a queries-dict opener reconstructs everything except the
+            # first (renamed) query.
+            frag = doc["tail"].splitlines()[-1].strip()
+            try:
+                rec = json.loads('{"queries": {"__truncated__":' + frag)
+                rec["queries"].pop("__truncated__", None)
+                doc = rec
+            except json.JSONDecodeError:
+                pass
         return os.path.basename(path), doc
     except Exception:
         return None, {}
