@@ -46,6 +46,8 @@ from feature_store_spark.pipeline.infer import OnlineStore, infer
 from feature_store_spark.pipeline.materialize import (
     CheckpointManifest,
     LineageLog,
+    corpus_feature_stats,
+    default_sketch_table,
     feature_lineage_for,
     materialize,
     update_feature_table,
@@ -271,6 +273,23 @@ class FeaturePipeline:
 
         return self._retry(_run, "infer")
 
+    def corpus_stats(self) -> DataFrame | None:
+        """One-row corpus statistics (total rows, approx distinct
+        entities, decode-stat quantiles) resolved from the per-partition
+        sketch table the materializer maintains — no history re-scan at
+        any corpus size.  Written to ``corpus_stats.parquet`` under the
+        output root; None when no sketches exist yet."""
+        sk = default_sketch_table(
+            self.features_t, self.images_t.partition_col
+        )
+        if sk.current_snapshot() is None:
+            return None
+        stats = corpus_feature_stats(self.spark, sk)
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.out, "corpus_stats.parquet")
+        )
+        return stats
+
     def maintain(self) -> dict:
         """Storage maintenance on the DERIVED tables (never the inputs):
         expire all but the newest ``expire_keep_last`` snapshots of the
@@ -297,5 +316,6 @@ class FeaturePipeline:
         self.materialize_online_features()
         self.materialize_offline_features()
         result = self.get_features_for_infer_pipeline()
+        self.corpus_stats()
         self.maintain()
         return result

@@ -155,3 +155,23 @@ def test_yaml_cli_front_door(spark, config, tmp_path):
         with open(bad, "w") as f:
             yaml.safe_dump({"output_path": out}, f)
         cli.load_config(bad)
+
+
+def test_corpus_stats_artifact(spark, config, ran):
+    """Round-5: run_all resolves corpus stats from the sketch table alone
+    and writes the one-row artifact; totals match the input corpus."""
+    stats = pd.read_parquet(
+        os.path.join(config["output_path"], "corpus_stats.parquet")
+    )
+    assert len(stats) == 1
+    n_images = len(pd.read_parquet(
+        os.path.join(config["raw_data_path"], "images.parquet")
+    ))
+    row = stats.iloc[0]
+    assert row["rows"] == n_images
+    n_entities = pd.read_parquet(
+        os.path.join(config["raw_data_path"], "images.parquet")
+    )["image_id"].nunique()
+    assert abs(row["approx_distinct_entities"] - n_entities) \
+        <= 0.05 * n_entities + 1
+    assert row["mean_r_q50"] > 0
