@@ -224,13 +224,15 @@ def previous_bench() -> tuple[str | None, dict]:
             # fragment is the original object's exact suffix: prepending
             # a queries-dict opener reconstructs everything except the
             # first (renamed) query.
-            frag = doc["tail"].splitlines()[-1].strip()
-            try:
-                rec = json.loads('{"queries": {"__truncated__":' + frag)
-                rec["queries"].pop("__truncated__", None)
-                doc = rec
-            except json.JSONDecodeError:
-                pass
+            lines = doc["tail"].splitlines()
+            frag = lines[-1].strip() if lines else ""
+            if frag:
+                try:
+                    rec = json.loads('{"queries": {"__truncated__":' + frag)
+                    rec["queries"].pop("__truncated__", None)
+                    doc = rec
+                except json.JSONDecodeError:
+                    pass
         return os.path.basename(path), doc
     except Exception:
         return None, {}

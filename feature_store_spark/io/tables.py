@@ -343,19 +343,27 @@ class PartitionedTable:
             unknown = set(partition_meta) - set(touched)
             if unknown:
                 # A planned partition can legitimately produce zero rows
-                # (e.g. an upstream commit leaving an empty partition in a
-                # batched span) — dropping its overlay must not turn the
-                # whole batched commit into a persistent crash.
+                # (e.g. an upstream commit leaving an empty partition in
+                # a batched span).  Record it as a real, EMPTY partition
+                # (count 0, no dirs) rather than dropping its overlay or
+                # failing the commit: dropping would leave its
+                # content-address unrecorded, so every subsequent
+                # incremental run would re-detect it as changed and
+                # recompute forward from it forever (round-5 review).
                 warnings.warn(
-                    f"{self.path}: dropping partition_meta for partitions "
-                    f"with no rows in this commit: {sorted(unknown)}",
+                    f"{self.path}: committing empty partitions for "
+                    f"partition_meta entries with no rows: "
+                    f"{sorted(unknown)}",
                     stacklevel=2,
                 )
-                partition_meta = {
-                    p: m for p, m in partition_meta.items() if p in touched
-                }
-            if partition_meta:
-                entry["partition_meta"] = partition_meta
+                for p in sorted(unknown):
+                    mapping[p] = []
+                    counts[p] = 0
+                touched = sorted(set(touched) | unknown)
+                entry["partitions"] = counts
+                entry["mapping"] = mapping
+                entry["touched"] = touched
+            entry["partition_meta"] = partition_meta
         self._append_manifest(entry)
         return Snapshot(snap_id, counts, mode, mapping, meta or {}, touched)
 

@@ -305,9 +305,15 @@ def connected_components_star(
             F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
         ).where(F.col("hi") != F.col("lo")).distinct()
 
-    cur = _canon(
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    ).localCheckpoint(eager=True)
+    raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # node universe from the RAW edges: _canon drops self-loops, but a
+    # node whose only edge is (d, d) still owes a (d, d) output row —
+    # same contract as the propagation path (round-5 review)
+    nodes = (
+        raw.select("u").unionByName(raw.select(F.col("v").alias("u")))
+        .distinct().withColumnRenamed("u", "node")
+    )
+    cur = _canon(raw).localCheckpoint(eager=True)
     handle = _LocalCheckpointHandle(cur)
     for _ in range(max_rounds):
         # large-star: per node u, m = min over its FULL neighborhood ∪
@@ -353,10 +359,12 @@ def connected_components_star(
             "(bound is O(log² n) — raise max_rounds)"
         )
     # fixed point = star forest: hi → its component min lo; centers map
-    # to themselves.  groupBy-min is belt and braces for ties.
+    # to themselves (groupBy-min is belt and braces for ties); isolated
+    # self-loop nodes come back via the node-universe join as their own
+    # singleton component.
     from feature_store_spark.operators.caches import register_cache
 
-    labels = (
+    star = (
         cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
         .unionByName(
             cur.select(F.col("lo").alias("node"),
@@ -364,6 +372,10 @@ def connected_components_star(
         )
         .groupBy("node")
         .agg(F.min("component").alias("component"))
+    )
+    labels = (
+        nodes.join(star, on="node", how="left")
+        .select("node", F.coalesce("component", "node").alias("component"))
         .localCheckpoint(eager=True)
     )
     register_cache(_LocalCheckpointHandle(labels))

@@ -80,23 +80,28 @@ def grouped_topk(
 
     ``order_by`` must be a TOTAL order (include tiebreak columns) or
     ranks are partition-dependent.  The salt hashes all input columns
-    PLUS a partition-local row position: a content-only hash would send
-    fully identical duplicate rows into one ``(key, salt)`` bucket,
-    regaining single-task skew exactly on the duplicate-heavy hot keys
-    dedup-style corpora produce (round-4 review).  The positional
-    component makes the salt layout-dependent, but the RESULT stays
-    deterministic: salt only decides which bucket a row competes in,
-    the union of per-salt top-k always contains the global top-k, and
-    rows that tie under a total order are byte-identical — phase 2
-    returns the same k rows whichever copies survive.  With
-    ``order_by = [md5(id)]`` this doubles as deterministic stratified
-    per-group sampling (n per stratum).
+    PLUS the input partition id: a content-only hash would send fully
+    identical duplicate rows into one ``(key, salt)`` bucket, regaining
+    single-task skew exactly on the duplicate-heavy hot keys dedup-style
+    corpora produce (round-4 review) — mixing in the partition id
+    spreads duplicates as widely as they sit in the input.  Unlike a
+    row-position component (``monotonically_increasing_id`` — round-5
+    review: intra-partition order can differ between task attempts, the
+    SPARK-23207 retry hazard), the partition id is stable across
+    retries and a row's partition is content-determined for
+    deterministic inputs (scans, hash/round-robin shuffles), so buckets
+    are attempt-consistent.  The RESULT is layout-independent either
+    way: salt only decides which bucket a row competes in, the union of
+    per-salt top-k always contains the global top-k, and rows that tie
+    under a total order are byte-identical — phase 2 returns the same k
+    rows whichever copies survive.  With ``order_by = [md5(id)]`` this
+    doubles as deterministic stratified per-group sampling (n per
+    stratum).
     """
     from pyspark.sql import Window
 
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in df.columns])
-        + F.monotonically_increasing_id(),
+        F.hash(*[F.col(c) for c in df.columns]) + F.spark_partition_id(),
         F.lit(n_salt),
     )
     w1 = Window.partitionBy(key, "__salt").orderBy(*order_by)

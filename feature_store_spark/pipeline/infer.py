@@ -112,7 +112,12 @@ class ParquetKVSink(OnlineSink):
 
     def files_for_keys(self, table: str, keys: list[str]) -> list[str] | None:
         """Data files whose key range intersects ``keys``; None when no
-        ranges manifest exists (fall back to the whole dataset)."""
+        ranges manifest exists OR the manifest is stale (fall back to the
+        whole dataset).  Staleness check (round-5 review): the data dir
+        is overwritten BEFORE the manifest, so a crash between the two
+        leaves a manifest naming part-files that no longer exist — any
+        manifest file missing on disk means the snapshot is newer than
+        the manifest, and the complete data dir is the truth."""
         import json as _json
 
         rp = self.ranges_path(table)
@@ -121,6 +126,12 @@ class ParquetKVSink(OnlineSink):
         with open(rp) as fh:
             man = _json.load(fh)
         base = self.path(table)
+        try:
+            on_disk = set(os.listdir(base))
+        except FileNotFoundError:
+            return None
+        if any(e["file"] not in on_disk for e in man["files"]):
+            return None  # stale manifest from a torn publish
         out = []
         for e in man["files"]:
             if e["min"] is None or any(

@@ -69,6 +69,7 @@ from feature_store_spark.operators.asof import (
     SKEW_STRATEGY_THRESHOLD,
     asof_join,
     duration_to_us,
+    skew_prefers_sliced,
     sliced_cache_scope,
 )
 from feature_store_spark.operators.windows import (
@@ -680,24 +681,28 @@ def feature_lineage_for(features_table: PartitionedTable) -> LineageLog:
 # share ONE metric (max rows-per-entity / mean) and one threshold.
 
 
-def strategy_from_lineage(
-    lineage: LineageLog, threshold: float = SKEW_STRATEGY_THRESHOLD
-) -> str | None:
+def strategy_from_lineage(lineage: LineageLog) -> str | None:
     """Pick the as-of strategy from the most recent materialize lineage
-    record's skew figures instead of running a fresh probe.  The FEATURE
-    side's entity heat (``feature_skew_max_over_mean``, recorded per
-    batch since round 4) is what the sliced strategy exists for — one
-    hot entity's timeline landing in a single union-window task — so it
-    decides when present; the obs-side ``skew_max_over_mean`` is the
-    fallback for pre-round-4 records (round-4 review: obs skew alone
-    mis-picked union under a hot FEATURE entity with uniform obs).
-    None when no record carries either figure yet (first ever run)."""
+    record's skew figures instead of running a fresh probe, applying the
+    SAME decision as the probe (:func:`skew_prefers_sliced` — relative
+    depth ≥ 10× mean, or ≥ 2% hot share when ``feature_entities`` was
+    recorded).  The FEATURE side's entity heat
+    (``feature_skew_max_over_mean``, recorded per batch since round 4)
+    is what the sliced strategy exists for — one hot entity's timeline
+    landing in a single union-window task — so it decides when present;
+    the obs-side ``skew_max_over_mean`` is the fallback for pre-round-4
+    records (round-4 review: obs skew alone mis-picked union under a hot
+    FEATURE entity with uniform obs).  None when no record carries
+    either figure yet (first ever run)."""
     for r in reversed(lineage.records()):
         skew = r.get("feature_skew_max_over_mean")
+        n_ent = r.get("feature_entities")
         if skew is None:
             skew = r.get("skew_max_over_mean")
-        if skew is not None:
-            return "sliced" if skew >= threshold else "union"
+            n_ent = None
+        prefers = skew_prefers_sliced(skew, n_ent)
+        if prefers is not None:
+            return "sliced" if prefers else "union"
     return None
 
 
@@ -869,12 +874,19 @@ def materialize(
             fstat = (
                 feats.groupBy("image_id")
                 .agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+                .agg(
+                    F.max("c").alias("mx"),
+                    F.avg("c").alias("mean"),
+                    F.count(F.lit(1)).alias("n_entities"),
+                )
                 .first()
             )
             feature_skew = (
                 round(float(fstat["mx"]) / float(fstat["mean"]), 3)
                 if fstat and fstat["mean"] else None
+            )
+            feature_entities = (
+                int(fstat["n_entities"]) if fstat and fstat["mean"] else None
             )
 
             out_snap = out_table.write(result, mode="overwrite_partitions")
@@ -899,6 +911,7 @@ def materialize(
                         if srow and srow["mean"] else None
                     ),
                     "feature_skew_max_over_mean": feature_skew,
+                    "feature_entities": feature_entities,
                     "watermark": (
                         str(watermark) if watermark is not None else None
                     ),

@@ -300,9 +300,13 @@ class FeaturePipeline:
         if not keep:
             return {}
         out = {}
+        sketches_t = default_sketch_table(
+            self.features_t, self.images_t.partition_col
+        )
         for name, table in (("features", self.features_t),
                             ("state", self.state_t),
-                            ("offline", self.offline_t)):
+                            ("offline", self.offline_t),
+                            ("sketches", sketches_t)):
             if table.current_snapshot() is not None:
                 out[name] = table.expire_snapshots(keep_last=int(keep))
         return out

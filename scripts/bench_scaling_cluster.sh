@@ -77,34 +77,49 @@ python - <<'EOF'
 import json
 
 def load(path, want_cores):
+    """One entry PER LINE — invalid/discarded samples become None so the
+    paired (same-rep) columns never zip temporally unrelated reps."""
     rows = []
     for ln in open(path):
         ln = ln.strip()
         if not ln:
             continue
-        probe, rest = ln.split("} ", 1)
-        r = json.loads(rest)
+        try:
+            probe, rest = ln.split("} ", 1)
+            p, r = json.loads(probe + "}"), json.loads(rest)
+        except (ValueError, json.JSONDecodeError):
+            print(f"DISCARDED unparseable line in {path}: {ln[:60]}...")
+            rows.append(None)
+            continue
         if (r["cores"] != want_cores
                 or r.get("cores_end", want_cores) != want_cores):
             print(f"DISCARDED sample cores={r['cores']}/"
                   f"{r.get('cores_end')} in {path}")
+            rows.append(None)
             continue
-        rows.append((json.loads(probe + "}"), r))
+        rows.append((p, r))
     return rows
 
 rows8 = load("BENCH/raw_cluster_image6m_8.jsonl", 8)
 rows32 = load("BENCH/raw_cluster_image6m_32.jsonl", 32)
-n = rows8[0][1]["n_images"]
+ok8 = [r for r in rows8 if r]
+ok32 = [r for r in rows32 if r]
+if not ok8 or not ok32:
+    raise SystemExit("no valid samples on one side — rerun")
+n = ok8[0][1]["n_images"]
 for stage in ("decode_sec", "full_sec"):
-    w8 = [r[stage] for _, r in rows8]
-    w32 = [r[stage] for _, r in rows32]
+    w8 = [r[stage] for _, r in ok8]
+    w32 = [r[stage] for _, r in ok32]
     b8, b32 = min(w8), min(w32)
-    paired = [round(a / b / 4, 2) for a, b in zip(w8, w32)]
+    paired = [
+        round(a[1][stage] / b[1][stage] / 4, 2) if a and b else None
+        for a, b in zip(rows8, rows32)
+    ]
     print(f"{stage[:-4]}: min 8c={b8}s ({n/b8:,.0f} img/s) "
           f"32c={b32}s ({n/b32:,.0f} img/s) "
           f"spread8=±{(max(w8)-b8)/b8*100:.0f}% "
           f"spread32=±{(max(w32)-b32)/b32*100:.0f}% "
           f"min-eff={(b8/b32)/4:.2f} paired-effs={paired}")
-print("probes8:", [p["probe_sec"] for p, _ in rows8])
-print("probes32:", [p["probe_sec"] for p, _ in rows32])
+print("probes8:", [p["probe_sec"] for p, _ in ok8])
+print("probes32:", [p["probe_sec"] for p, _ in ok32])
 EOF

@@ -193,22 +193,29 @@ def test_probe_and_lineage_strategy_agree(spark, tmp_path):
     frames = [
         synth_feature_events(spark, 20_000, 1_000, hot_fraction=0.5),
         synth_feature_events(spark, 20_000, 1_000, skew_power=1),
+        # low-cardinality absolute dominance: 20 entities, one owns 30%
+        # of rows — max/mean is only ~6 but the hot SHARE routes to
+        # sliced (round-5 review clause)
+        synth_feature_events(spark, 20_000, 20, skew_power=1,
+                             hot_fraction=0.3),
     ]
     choices = []
     for i, df in enumerate(frames):
         # record skew exactly as materialize's per-batch lineage job does
         st = (
             df.groupBy("entity_id").agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("mx"), F.avg("c").alias("mean")).first()
+            .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"),
+                 F.count(F.lit(1)).alias("n")).first()
         )
         skew = round(float(st["mx"]) / float(st["mean"]), 3)
         lin = LineageLog(str(tmp_path / f"lin_{i}.jsonl"))
-        lin.append({"partition": "p", "feature_skew_max_over_mean": skew})
+        lin.append({"partition": "p", "feature_skew_max_over_mean": skew,
+                    "feature_entities": int(st["n"])})
         assert strategy_from_lineage(lin) == choose_asof_strategy(
             df, "entity_id"
         )
         choices.append(strategy_from_lineage(lin))
-    assert choices == ["sliced", "union"]  # both branches exercised
+    assert choices == ["sliced", "union", "sliced"]  # all clauses hit
 
 
 def test_sliced_cache_scoping(spark, simple):

@@ -315,20 +315,23 @@ def test_star_contraction_high_diameter_path(spark):
     )
 
     n = 80  # one long path 0-1-2-...-79: diameter ≫ 10 rounds
+    # plus a node whose ONLY edge is a self-loop: both algorithms must
+    # still emit its (d, d) singleton row (round-5 review)
     e = spark.createDataFrame(
-        pd.DataFrame({"doc_id_a": list(range(n - 1)),
-                      "doc_id_b": list(range(1, n))})
+        pd.DataFrame({"doc_id_a": [*range(n - 1), 555],
+                      "doc_id_b": [*range(1, n), 555]})
     ).repartition(7)
 
+    want = {i: 0 for i in range(n)} | {555: 555}
     got = {r["node"]: r["component"]
            for r in connected_components_star(e).collect()}
-    assert got == {i: 0 for i in range(n)}
+    assert got == want
     release_caches()
 
     with pytest.warns(UserWarning, match="star-contraction"):
         out = connected_components(e, max_iterations=10)
     got = {r["node"]: r["component"] for r in out.collect()}
-    assert got == {i: 0 for i in range(n)}
+    assert got == want
     release_caches()
 
     with pytest.raises(RuntimeError, match="did not converge"):

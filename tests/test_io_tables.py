@@ -372,18 +372,24 @@ def test_manifest_parseable_newlineless_tail_is_completed(tmp_path):
         "snap-a", "snap-b", "snap-c"]  # still visible after
 
 
-def test_partition_meta_for_zero_row_partition_warns_not_raises(
+def test_partition_meta_for_zero_row_partition_commits_empty(
     spark, df, tmp_path
 ):
-    """Round-5 ADVICE fix: a batched commit planning meta for a partition
-    that produced no rows drops that overlay with a warning instead of
-    failing the whole commit."""
+    """Round-5 fix (reworked after review): a batched commit planning
+    meta for a partition that produced no rows commits that partition as
+    EMPTY (count 0, no dirs) with a warning — never failing the commit,
+    and never dropping the overlay (an unrecorded content-address would
+    make every later incremental run re-detect the partition as changed
+    and recompute forward from it forever)."""
     t = PartitionedTable(str(tmp_path), "t", "grp")
-    with pytest.warns(UserWarning, match="no rows"):
+    with pytest.warns(UserWarning, match="empty partitions"):
         snap = t.write(
             df, mode="overwrite_partitions",
             partition_meta={"a": {"src": 1}, "ghost": {"src": 2}},
         )
-    assert "ghost" not in snap.partitions
+    assert snap.partitions["ghost"] == 0
+    assert "ghost" in snap.touched
     assert t.partition_info()["a"] == {"src": 1}
-    assert "ghost" not in t.partition_info()
+    assert t.partition_info()["ghost"] == {"src": 2}  # overlay retained
+    # reading a span including the empty partition just yields its peers
+    assert t.read(spark, partitions=["a", "ghost"]).count() > 0

@@ -200,7 +200,7 @@ def test_grouped_topk_spreads_identical_duplicates(spark):
 
     salt = F.pmod(
         F.hash(*[F.col(c) for c in df.columns])
-        + F.monotonically_increasing_id(), F.lit(16))
+        + F.spark_partition_id(), F.lit(16))
     n_buckets = (
         df.where(F.col("user_id") == 7).select(salt.alias("s"))
         .distinct().count()
