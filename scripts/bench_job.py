@@ -30,6 +30,7 @@ def main() -> None:
     n_img_obs = int(sys.argv[5]) if len(sys.argv) > 5 else 300_000
     phase = sys.argv[6] if len(sys.argv) > 6 else "all"
     passes = int(sys.argv[7]) if len(sys.argv) > 7 else 2
+    n_docs_arg = int(sys.argv[8]) if len(sys.argv) > 8 else 1_000_000
 
     spark = SparkSession.builder.getOrCreate()
     for k, v in {
@@ -129,7 +130,7 @@ def main() -> None:
         # big enough that the hash/shingle CPU dominates the fixed ~2 s
         # shuffle-stage latency (at 200k docs the 32-core wall was 3.5 s
         # and the measurement was latency-bound, not capacity-bound)
-        n_docs = 1_000_000
+        n_docs = n_docs_arg
         docs_path = os.path.join(data_root, f"docs_{n_docs}.parquet")
         if not os.path.exists(docs_path):
             synth_documents(spark, n_docs) \

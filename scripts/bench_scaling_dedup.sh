@@ -1,40 +1,22 @@
 #!/bin/bash
-# Composite-phase scaling on REAL multi-executor masters (round-4 judge
-# task 2: "demonstrate, don't argue"): the image materialization phase
-# (decode -> rolling+session -> sliced as-of) runs via spark-submit at
-#   N  = local-cluster[2,4,M]  (2 executor JVMs x 4 cores = 8 cores)
-#   4N = local-cluster[8,4,M]  (8 executor JVMs x 4 cores = 32 cores)
-# so the comparison scales EXECUTORS (the north rule's axis) and the
-# shuffle crosses executor boundaries, unlike single-JVM local[N].
-#
-# Each side is PINNED to exactly its core budget with taskset: without
-# the pin, the small side's JVM scan/shuffle threads and Python decode
-# workers spill onto the machine's idle cores (8 task SLOTS but 12-16
-# physical cores busy), overstating N-side throughput and deflating
-# measured efficiency — on a real N-core cluster node those threads
-# share the node's cores.  Executor registration is required in full
-# (minRegisteredResourcesRatio=1.0, 180s wait): an unregistered executor
-# silently halves the small side (observed: a "cores": 4 sample), and
-# samples whose registered cores changed mid-run are discarded.
-#
-# Each JVM measures BOTH the decode stage and the full composite
-# (scripts/bench_phase_decompose.py), so the report separates decode
-# capacity from the shuffle tail; input is sized so the 4N side's full
-# wall >= 45 s (6M images, 4M obs), amortizing fixed stage latency.
-# Interleaved reps (alternating N / 4N JVMs) with a pure-python host
-# probe before each JVM so a host-load step is visible in-record, and a
-# PAIRED per-rep efficiency column that cancels slow-drift host noise.
-# Usage: scripts/bench_scaling_cluster.sh   (REPS env, default 4)
+# Dedup/text-stack scaling on multi-executor masters, same protocol as
+# scripts/bench_scaling_cluster.sh (taskset-pinned core budgets, full
+# executor registration, interleaved reps, host probes): the bench_job
+# dedup phase (minhash signatures -> LSH candidate pairs over synthetic
+# documents) at local-cluster[2,4] (N=8 cores) vs local-cluster[8,4]
+# (4N=32 cores), with 4M docs so the 8-core wall is ~2 min and the
+# measurement is capacity-bound, not stage-latency-bound.
+# Usage: scripts/bench_scaling_dedup.sh   (REPS env, default 3)
 set -e
 cd "$(dirname "$0")/.."
 ROOT="${1:-BENCH/data/scaling}"
-REPS="${REPS:-4}"
-NI=6000000; NIO=4000000
+REPS="${REPS:-3}"
+NDOCS=4000000
 MEM=6144
 rm -f /tmp/engine.zip && zip -qr /tmp/engine.zip feature_store_spark
 mkdir -p "$ROOT" BENCH
 
-probe() { # ~1s pure-python spin; wall varies with host load
+probe() {
   python - <<'EOF'
 import time, json
 t0 = time.perf_counter()
@@ -53,23 +35,24 @@ run() { # execs: 2 or 8
     --conf spark.ui.enabled=false --driver-memory 8g \
     --conf spark.scheduler.minRegisteredResourcesRatio=1.0 \
     --conf spark.scheduler.maxRegisteredResourcesWaitingTime=180s \
-    scripts/bench_phase_decompose.py "$ROOT" $NI $NIO 2>/dev/null \
-    | grep DECOMPJSON | sed 's/^DECOMPJSON //'
+    scripts/bench_job.py "$ROOT" 4000000 2000000 1000000 1000000 \
+    dedup 1 $NDOCS 2>/dev/null \
+    | grep BENCHJSON | sed 's/^BENCHJSON //'
 }
 
-echo "== generating cache (one-time, local[32]) =="
+echo "== generating docs cache (one-time, local[32]) =="
 spark-submit --master 'local[32]' --py-files /tmp/engine.zip \
   --conf spark.ui.enabled=false --driver-memory 12g \
-  scripts/bench_job.py "$ROOT" 4000000 2000000 $NI $NIO none 1 \
-  >/dev/null 2>&1 || true
+  scripts/bench_job.py "$ROOT" 4000000 2000000 1000000 1000000 \
+  dedup 1 $NDOCS >/dev/null 2>&1 || true
 
-rm -f BENCH/raw_cluster_image6m_8.jsonl BENCH/raw_cluster_image6m_32.jsonl
+rm -f BENCH/raw_cluster_dedup4m_8.jsonl BENCH/raw_cluster_dedup4m_32.jsonl
 for rep in $(seq "$REPS"); do
   for execs in 2 8; do
     cores=$((execs * 4))
     echo "== rep=$rep executors=$execs (cores=$cores, pinned) =="
     { probe; run $execs; } | paste -sd' ' - \
-      | tee -a "BENCH/raw_cluster_image6m_${cores}.jsonl"
+      | tee -a "BENCH/raw_cluster_dedup4m_${cores}.jsonl"
   done
 done
 
@@ -77,8 +60,6 @@ python - <<'EOF'
 import json
 
 def load(path, want_cores):
-    """One entry PER LINE — invalid/discarded samples become None so the
-    paired (same-rep) columns never zip temporally unrelated reps."""
     rows = []
     for ln in open(path):
         ln = ln.strip()
@@ -107,14 +88,14 @@ def load(path, want_cores):
         rows.append((p, r))
     return rows
 
-rows8 = load("BENCH/raw_cluster_image6m_8.jsonl", 8)
-rows32 = load("BENCH/raw_cluster_image6m_32.jsonl", 32)
+rows8 = load("BENCH/raw_cluster_dedup4m_8.jsonl", 8)
+rows32 = load("BENCH/raw_cluster_dedup4m_32.jsonl", 32)
 ok8 = [r for r in rows8 if r]
 ok32 = [r for r in rows32 if r]
 if not ok8 or not ok32:
     raise SystemExit("no valid samples on one side — rerun")
-n = ok8[0][1]["n_images"]
-for stage in ("decode_sec", "full_sec"):
+n = ok8[0][1]["n_docs"]
+for stage in ("minhash_sec", "dedup_sec"):
     w8 = [r[stage] for _, r in ok8]
     w32 = [r[stage] for _, r in ok32]
     b8, b32 = min(w8), min(w32)
@@ -122,8 +103,8 @@ for stage in ("decode_sec", "full_sec"):
         round(a[1][stage] / b[1][stage] / 4, 2) if a and b else None
         for a, b in zip(rows8, rows32)
     ]
-    print(f"{stage[:-4]}: min 8c={b8}s ({n/b8:,.0f} img/s) "
-          f"32c={b32}s ({n/b32:,.0f} img/s) "
+    print(f"{stage[:-4]}: min 8c={b8}s ({n/b8:,.0f} docs/s) "
+          f"32c={b32}s ({n/b32:,.0f} docs/s) "
           f"spread8=±{(max(w8)-b8)/b8*100:.0f}% "
           f"spread32=±{(max(w32)-b32)/b32*100:.0f}% "
           f"min-eff={(b8/b32)/4:.2f} paired-effs={paired}")
