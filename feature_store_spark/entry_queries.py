@@ -543,11 +543,21 @@ def q_range_join(spark, sf):  # J3: 30-day window popularity (interval semantics
     weeks = (
         e.select(F.date_trunc("week", "ts").alias("week_start")).distinct()
     )
-    joined = e.join(
-        F.broadcast(weeks),
-        (e.ts > weeks.week_start) & (e.ts <= F.col("week_start") + F.expr("INTERVAL 7 DAYS")),
-        "inner",
-    )
+    # Round-6 (guide §3): the week intervals are half-open, 7d long, and
+    # Monday-aligned, so [ts - 7d, ts) contains EXACTLY ONE week boundary —
+    # date_trunc('week', ts) when ts is strictly inside its week, else
+    # (boundary events belong to the PREVIOUS interval) ts - 7d.  The
+    # O(|events| × |weeks|) BroadcastNestedLoopJoin therefore collapses to
+    # an equi broadcast-hash join on that derived key; the join against the
+    # distinct week set keeps the original semantics exactly (an event at a
+    # boundary with no prior-week event in the data matched nothing before
+    # and still matches nothing).
+    wk = F.date_trunc("week", F.col("ts"))
+    eff = F.when(
+        F.col("ts") == wk, wk - F.expr("INTERVAL 7 DAYS")
+    ).otherwise(wk)
+    ev = e.select("user_id", eff.alias("week_start"))
+    joined = ev.join(F.broadcast(weeks), on="week_start", how="inner")
     return joined.groupBy("user_id", "week_start").agg(
         F.count(F.lit(1)).alias("n_in_window")
     )

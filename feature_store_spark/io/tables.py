@@ -222,6 +222,36 @@ class PartitionedTable:
                 f"disk (data corruption or external delete), e.g. {missing[0]}"
             )
         if not leaf_dirs:
+            # Distinguish "partition unknown" (error) from "every wanted
+            # partition is a legitimately committed EMPTY partition"
+            # (zero-dir mapping — the empty-commit semantics added round
+            # 5): the latter must read back as an empty frame, not crash
+            # an incremental run whose changed partitions decoded to zero
+            # rows (round-5 ADVICE).  Schema comes from the caller or
+            # from any non-empty partition of the same snapshot.
+            if wanted and all(not snap.mapping[p] for p in wanted):
+                if schema is not None:
+                    return spark.createDataFrame([], schema).withColumn(
+                        self.partition_col, F.lit(None).cast("string")
+                    )
+                donor = [
+                    os.path.join(
+                        d, f"{self.partition_col}={escape_path_name(p)}"
+                    )
+                    for p in sorted(snap.mapping)
+                    for d in snap.mapping[p]
+                ]
+                donor = [d for d in donor if os.path.exists(d)]
+                if donor:
+                    df = spark.read.parquet(donor[0]).limit(0)
+                    return df.withColumn(
+                        self.partition_col, F.lit(None).cast("string")
+                    )
+                raise FileNotFoundError(
+                    f"{self.path}: all wanted partitions are empty and the "
+                    "table holds no data to infer a schema from — pass "
+                    "`schema=` to read an all-empty table"
+                )
             raise FileNotFoundError(
                 f"no data for partitions={partitions} in {self.path}"
             )
@@ -357,6 +387,13 @@ class PartitionedTable:
                     stacklevel=2,
                 )
                 for p in sorted(unknown):
+                    # append mode INHERITS the partition's existing dirs:
+                    # an empty append adds nothing, it must not clobber
+                    # already-committed data with an empty dir list
+                    # (round-5 ADVICE).  overwrite modes record a real,
+                    # EMPTY partition as before.
+                    if mode == "append" and p in mapping:
+                        continue
                     mapping[p] = []
                     counts[p] = 0
                 touched = sorted(set(touched) | unknown)

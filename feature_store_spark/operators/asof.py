@@ -290,12 +290,16 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
         F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols
     ]
     w_base = Window.partitionBy(on, _SLICE).orderBy(*order)
-    # Three window expressions over ONE partitioning+ordering → a single
-    # Exchange and a single sort: the running in-slice merge, the slice's
-    # final feature payload (full-partition frame), and a row number used
-    # to collapse the slice-level carry table without any struct
-    # aggregation (max_by/distinct on structs degrade to SortAggregate
-    # with two more full-data exchanges).
+    # Two window expressions over ONE partitioning+ordering → a single
+    # Exchange and a single sort: the running in-slice merge, plus a
+    # lead()-based last-row flag.  The slice's final feature payload is
+    # just ``__run`` AT the last row, so the round-5 full-partition
+    # ``last(payload)`` frame — which materialized a second payload STRUCT
+    # onto every row of the union before the filter — and the
+    # ``row_number`` column are both gone (round-6, guide §2.3 "shuffle
+    # fewer bytes" applied to window buffers; struct aggregation is still
+    # avoided: max_by/distinct on structs degrade to SortAggregate with
+    # two more full-data exchanges).
     merged = (
         u.withColumn(
             "__run",
@@ -303,15 +307,10 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
                 w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        .withColumn(
-            "__slice_last",
-            F.last(_PAYLOAD, ignorenulls=True).over(
-                w_base.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(w_base))
+        # lead of a CONSTANT: null exactly past the partition end, even if
+        # some timestamp column were null (null-ts rows sort first and
+        # would make lead(ts) null mid-partition)
+        .withColumn("__last", F.lead(F.lit(1), 1).over(w_base).isNull())
     )
     # Downstream only ever reads observation rows (the output) and one row
     # per (entity, slice) (the carry table) — discard feature rows and the
@@ -320,18 +319,20 @@ def _asof_sliced(obs, features, on, obs_time, feature_time, feature_cols,
     # makes the expensive feature subtree (decode UDFs, window stack) and
     # the merge sort run exactly once for both consumers.
     keep = list(obs.columns) + [
-        c for c in (on, _SLICE, _TAG, "__run", "__slice_last", "__rn")
+        c for c in (on, _SLICE, _TAG, "__run", "__last")
         if c not in obs.columns
     ]
     merged = (
-        merged.where((F.col(_TAG) == 1) | (F.col("__rn") == 1))
+        merged.where((F.col(_TAG) == 1) | F.col("__last"))
         .select(*keep)
         .persist()
     )
     _register_sliced_cache(merged)
 
-    slice_level = merged.where(F.col("__rn") == 1).select(
-        on, _SLICE, "__slice_last"
+    # the last row's running merge IS the slice's final feature payload
+    # (last non-null payload under the same total order)
+    slice_level = merged.where(F.col("__last")).select(
+        on, _SLICE, F.col("__run").alias("__slice_last")
     )
     w_carry = (
         Window.partitionBy(on)

@@ -64,21 +64,22 @@ def shingle_array(text_col: str, n: int = 3) -> "F.Column":
     return acc
 
 
-def minhash_signatures(
+def minhash_wide(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature rows (id, hash_idx, minhash).
+    """MinHash signatures in WIDE form: one row per id with columns
+    ``__m0..__m{n-1}``.
 
     Scale shape: shingle → explode ONCE → all ``num_hashes`` mins as
-    parallel aggregate columns in one groupBy (map-side partial min), then
-    a tiny unpivot back to rows.  The obvious second explode over hash
-    indices multiplies the exploded row volume by ``num_hashes`` for no
-    information — same results, ~num_hashes× the rows hashed and moved
-    (round-2 rework; values identical to the row-per-hash form).
+    parallel aggregate columns in one groupBy (map-side partial min).
+    This is the form the LSH banding consumes directly (round-6): feeding
+    it the stacked rows instead forces a stack → pivot round-trip (three
+    extra HashAggregate layers in the plan) that reconstructs exactly
+    this frame.
     """
     ex = df.select(
         F.col(id_col),
@@ -90,7 +91,23 @@ def minhash_signatures(
         ).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    wide = ex.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature rows (id, hash_idx, minhash) — the stacked/narrow
+    gate-query form: :func:`minhash_wide` plus a tiny unpivot.  The
+    obvious second explode over hash indices would multiply the exploded
+    row volume by ``num_hashes`` for no information — same results,
+    ~num_hashes× the rows hashed and moved (round-2 rework; values
+    identical to the row-per-hash form)."""
+    wide = minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
     stack = ", ".join(f"{i}, __m{i}" for i in range(num_hashes))
     return wide.selectExpr(
         id_col, f"stack({num_hashes}, {stack}) AS (hash_idx, minhash)"
@@ -98,11 +115,12 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame,
+    signatures: DataFrame | None,
     id_col: str = "doc_id",
     num_hashes: int = 4,
     band_size: int = 2,
     max_bucket_size: int | None = None,
+    wide_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs
     (id_a < id_b).  Pairs sharing any band bucket are candidates; the
@@ -115,38 +133,62 @@ def lsh_candidate_pairs(
     deterministic order (md5(id), id) and drops the rest BEFORE the
     self-join.  Capping trades recall for a hard quadratic bound —
     use :func:`lsh_candidate_pairs_with_stats` to surface exactly what was
-    dropped (no silent caps)."""
+    dropped (no silent caps).
+
+    Pass ``wide_signatures`` (the :func:`minhash_wide` frame) instead of
+    stacked ``signatures`` to skip the stack → pivot reconstruction — the
+    banding consumes the wide columns directly (round-6)."""
     pairs, _ = lsh_candidate_pairs_with_stats(
-        signatures, id_col, num_hashes, band_size, max_bucket_size
+        signatures, id_col, num_hashes, band_size, max_bucket_size,
+        wide_signatures=wide_signatures,
     )
     return pairs
 
 
 def lsh_candidate_pairs_with_stats(
-    signatures: DataFrame,
+    signatures: DataFrame | None,
     id_col: str = "doc_id",
     num_hashes: int = 4,
     band_size: int = 2,
     max_bucket_size: int | None = None,
+    wide_signatures: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Like :func:`lsh_candidate_pairs` but also returns the hot-bucket
     report: one row per bucket exceeding the cap with (bucket, size,
     n_dropped).  Callers must surface it (count/collect it AFTER the pairs
     job, or write it to a lineage sink) — at 10^12 rows a silently capped
-    bucket reads as 'covered everything' when it wasn't."""
-    piv = signatures.groupBy(id_col).pivot(
-        "hash_idx", list(range(num_hashes))
-    ).agg(F.first("minhash"))
+    bucket reads as 'covered everything' when it wasn't.
+
+    The bucket-membership frame (one row per id × band) is PERSISTED and
+    registered with the operator-cache registry (round-6): it feeds both
+    sides of the bucket self-join (and the hot-bucket rank/report), and
+    without the persist the whole upstream shingle/md5 pipeline is
+    evaluated once per consumer.  Release via ``release_caches()`` /
+    ``cache_scope()`` as with the sliced as-of cache."""
+    if wide_signatures is not None:
+        piv = wide_signatures
+        def _sig_col(i: int):
+            return F.col(f"__m{i}")
+    else:
+        piv = signatures.groupBy(id_col).pivot(
+            "hash_idx", list(range(num_hashes))
+        ).agg(F.first("minhash"))
+        def _sig_col(i: int):
+            return F.col(str(i))
     n_bands = num_hashes // band_size
     band_cols = []
     for b in range(n_bands):
-        cols = [F.col(str(b * band_size + k)) for k in range(band_size)]
+        cols = [_sig_col(b * band_size + k) for k in range(band_size)]
         band_cols.append(F.md5(F.concat_ws("_", *cols)).alias(f"b{b}"))
     bands = piv.select(id_col, *band_cols)
     eb = bands.select(
         id_col,
         F.explode(F.array(*[f"b{b}" for b in range(n_bands)])).alias("bucket"),
     )
+    from feature_store_spark.operators.caches import register_cache
+
+    eb = eb.persist()
+    register_cache(eb)
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket").orderBy(
             h60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
@@ -462,11 +504,16 @@ def connected_components(
                         F.col("min_nbr") < F.col("label"), F.lit(False)
                     ).alias("__changed"),
                 )
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint (round-6): the convergence count below is
+                # the round's ONLY action — it scans every partition, so it
+                # both materializes the checkpoint blocks and returns the
+                # changed-count in ONE job instead of round-5's two
+                # (eager-checkpoint job + count job).  At near-dup scale
+                # the rounds are driver-latency-bound, so halving the jobs
+                # per round halves the operator's fixed cost.
+                .localCheckpoint(eager=False)
             )
             new_handle = _LocalCheckpointHandle(new)
-            # near-free: a local scan of the blocks the eager checkpoint
-            # job just wrote — no join, no shuffle
             changed = new.where("__changed").count()
             if changed == 0:
                 new_handle.unpersist()
@@ -515,12 +562,15 @@ def dup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
     )
-    sizes = out.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return out.join(sizes, on="cluster_id").select(
+    # cluster_size as a window count over cluster_id (round-6, guide §2.4):
+    # the groupBy + join-back form evaluated the docs⟕labels subtree TWICE
+    # and paid three more Exchanges plus a second SortMergeJoin; one
+    # count(*) over the cluster partition is the same value in a single
+    # pass.  (count over an unordered window frame = whole partition.)
+    w = Window.partitionBy("cluster_id")
+    return out.select(
         id_col,
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )

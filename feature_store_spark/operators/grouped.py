@@ -100,8 +100,15 @@ def grouped_topk(
     """
     from pyspark.sql import Window
 
+    # partition id goes INTO the hash, not added after it: the Int32 add
+    # overflowed under ANSI mode (on by default in Spark 4) for rows whose
+    # content hash lands near Int.MaxValue — invisible in tests,
+    # probability ~partition_id/2^32 per row, a near-certain job crash at
+    # 10^5-partition scale (round-5 ADVICE).  Bucket membership changes,
+    # but the result is salt-independent (union of per-salt top-k always
+    # contains the global top-k).
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in df.columns]) + F.spark_partition_id(),
+        F.hash(*[F.col(c) for c in df.columns], F.spark_partition_id()),
         F.lit(n_salt),
     )
     w1 = Window.partitionBy(key, "__salt").orderBy(*order_by)

@@ -38,6 +38,25 @@ def cosine_expr(a: str, b: str):
     )
 
 
+def _cos_from_norms(q_vec: str, vec: str, q_norm: str, norm: str):
+    """Cosine from a per-pair dot plus PRECOMPUTED per-row norms — the
+    round-6 form of :func:`cosine_expr` for join-shaped scoring: each
+    side's ``sqrt(dot(v, v))`` is evaluated once per ROW below the join
+    (the projection streams/builds before the probe loop) instead of once
+    per candidate PAIR, cutting the pairwise vector math 3×.  The norm
+    columns hold the *identical* expression ``sqrt(dot_expr(v, v))`` and
+    the division order is unchanged, so results are bit-identical to
+    :func:`cosine_expr` (which the oracles mirror)."""
+    return F.try_divide(
+        F.try_divide(dot_expr(q_vec, vec), F.col(q_norm)), F.col(norm)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Attach ``sqrt(dot(v, v))`` as a column (see :func:`_cos_from_norms`)."""
+    return df.withColumn(out_col, F.sqrt(dot_expr(vec_col, vec_col)))
+
+
 def eval_once(col: "F.Column") -> "F.Column":
     """Wrap an expensive expression so a downstream filter on its alias
     doesn't re-evaluate it: ``explode(array(col))`` puts a Generate node
@@ -108,8 +127,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: broadcast the query side, scan the corpus once
     (map-side scoring), per-partition top-k pre-reduce, then the global
-    rank over at most k × partitions rows per query."""
-    j = corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col))
+    rank over at most k × partitions rows per query.  Norms are
+    precomputed per row below the join (``_cos_from_norms``) so each
+    corpus×query pair evaluates one dot product, not three."""
+    c = with_norm(corpus.select(id_col, vec_col), vec_col, "__nrm")
+    q = with_norm(
+        queries.select(q_id_col, q_vec_col), q_vec_col, "__qnrm"
+    )
+    j = c.join(F.broadcast(q), F.col(id_col) != F.col(q_id_col))
     # Non-finite cosines (zero-norm vector → NULL/NaN) are dropped BEFORE
     # ranking: Spark's desc order ranks NaN as the largest double while
     # pandas' sort places it last, so an unfiltered NaN would make the
@@ -119,7 +144,7 @@ def cosine_topk(
     scored = j.select(
         q_id_col,
         F.col(id_col).alias("neighbor_id"),
-        cosine_expr(q_vec_col, vec_col).alias("cos"),
+        _cos_from_norms(q_vec_col, vec_col, "__qnrm", "__nrm").alias("cos"),
     )
     if pre_reduce:
         scored = _partial_topk(scored, k, q_id_col)
@@ -259,10 +284,13 @@ def ivf_topk(
             rep["cell"] = b_cids[near.ravel()]
             yield rep
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=assign_schema
+    assigned = with_norm(
+        corpus.select(id_col, vec_col).mapInPandas(
+            assign, schema=assign_schema
+        ),
+        vec_col, "__nrm",
     )
-    q = (
+    q = with_norm(
         corpus.where(query_pred)
         .select(id_col, vec_col)
         .mapInPandas(probe, schema=assign_schema)
@@ -270,14 +298,15 @@ def ivf_topk(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_emb"),
             "cell",
-        )
+        ),
+        "q_emb", "__qnrm",
     )
     j = assigned.join(F.broadcast(q), on="cell").where(
         F.col(id_col) != F.col("q_id")
     )
     scored = j.select(
         "q_id", F.col(id_col).alias("neighbor_id"),
-        cosine_expr("q_emb", vec_col).alias("cos"),
+        _cos_from_norms("q_emb", vec_col, "__qnrm", "__nrm").alias("cos"),
     )
     # non-finite scores dropped inside the pre-reduce kernel
     return _exact_topk(_partial_topk(scored, k, "q_id"), k, "q_id")
@@ -297,15 +326,18 @@ def ann_lsh_topk(
     candidates per query)."""
     planes = hyperplane_weights(n_planes, dim)
     eb = corpus.select(
-        id_col, vec_col, lsh_bucket_expr(vec_col, planes).alias("bucket")
+        id_col, vec_col, lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        F.sqrt(dot_expr(vec_col, vec_col)).alias("__nrm"),
     )
     q = eb.where(query_pred).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "bucket"
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "bucket",
+        F.col("__nrm").alias("__qnrm"),
     )
     j = eb.join(F.broadcast(q), on="bucket").where(F.col(id_col) != F.col("q_id"))
     scored = j.select(
         "q_id", F.col(id_col).alias("neighbor_id"),
-        cosine_expr("q_emb", vec_col).alias("cos"), "bucket",
+        _cos_from_norms("q_emb", vec_col, "__qnrm", "__nrm").alias("cos"),
+        "bucket",
     )
     # non-finite scores dropped inside the pre-reduce kernel
     return _exact_topk(_partial_topk(scored, k, "q_id"), k, "q_id")

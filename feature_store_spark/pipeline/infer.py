@@ -110,6 +110,17 @@ class ParquetKVSink(OnlineSink):
             _json.dump({"key": key, "files": entries}, fh)
         os.replace(tmp, self.ranges_path(table))
 
+    def key_columns(self, table: str) -> list[str]:
+        """Key column name recorded in the ranges manifest — enough
+        structure to shape an all-empty read; [] when no manifest."""
+        import json as _json
+
+        rp = self.ranges_path(table)
+        if not os.path.exists(rp):
+            return []
+        with open(rp) as fh:
+            return [_json.load(fh)["key"]]
+
     def files_for_keys(self, table: str, keys: list[str]) -> list[str] | None:
         """Data files whose key range intersects ``keys``; None when no
         ranges manifest exists OR the manifest is stale (fall back to the
@@ -246,6 +257,13 @@ class OnlineStore:
             import pyarrow.parquet as _pq
 
             files = sorted(_glob.glob(os.path.join(base, "*.parquet")))
+            if not files:
+                # an all-empty publish writes only _SUCCESS (manifest has
+                # zero file entries) — empty frame, not IndexError
+                # (round-5 ADVICE); key column name is enough structure
+                # for multi_get's downstream merge.
+                key_cols = self._kv.key_columns(table)
+                return pd.DataFrame(columns=key_cols or [])
             return _pq.ParquetFile(files[0]).schema_arrow.empty_table() \
                 .to_pandas()
         return pd.read_parquet(paths, filters=filters)

@@ -18,6 +18,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE coalesce/replan CACHED plans too (off by default): persisted
+    # operator intermediates (sliced as-of merge, CC's symmetrized edges,
+    # LSH bucket membership) otherwise keep the static
+    # spark.sql.shuffle.partitions count however small the data is, and
+    # every consumer of the cache pays that task count per stage.  AQE
+    # sizes the cached partitioning by observed bytes, so this adapts from
+    # local tests to cluster scale instead of pinning either (round-6;
+    # guide §2.2 "fewer, larger partitions").
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow transfer for every pandas UDF (decode / phash path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",

@@ -15,6 +15,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from feature_store_spark.entry_queries import R, sql_md5_bucket, t
+from feature_store_spark.io.scan import fan_out
+
+
+def _docs(spark, sf) -> DataFrame:
+    """The documents scan, fanned out to cluster parallelism: a few MB of
+    compressed text is 1-2 input splits, but every query here does heavy
+    per-row CPU (md5 shingle/gram hashing) in the scan stage — without the
+    adaptive repartition that work runs on 1-2 cores (round-6 measurement:
+    winnow_fingerprint spent ~3 s single-task).  No-op at production split
+    counts (see io/scan.fan_out)."""
+    return fan_out(t(spark, sf, "documents"))
+
+
+def _embs(spark, sf) -> DataFrame:
+    """The embeddings scan, fanned out — per-pair dot products are
+    evaluated map-side in the scan stage (guide §2.5 input skew)."""
+    return fan_out(t(spark, sf, "embeddings"))
 
 # deterministic 60-bit hash shared by both dialects
 def _spark_h60(col):
@@ -155,7 +172,7 @@ def q_winnow_fingerprint(spark, sf):
     scheme (Schleimer et al., SIGMOD'03) used for plagiarism/near-dup
     detection.  Pure higher-order functions: map-only until the final
     explode+distinct."""
-    d = t(spark, sf, "documents")
+    d = _docs(spark, sf)
     grams = (
         f"transform(sequence(1, greatest(length(text) - {_WINNOW_K} + 1, 1)),"
         f" i -> substring(text, i, {_WINNOW_K}))"
@@ -179,14 +196,23 @@ def q_winnow_fingerprint(spark, sf):
     for k in range(1, _WINNOW_W):
         wins = F.zip_with(wins, F.slice(h, k + 1, cnt),
                           lambda a, b: F.least(a, b))
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.min("fp").alias("min_fp"),
-            F.max("fp").alias("max_fp"),
-        )
+    # Shuffle-free finish (round-6, guide §2.4): the per-doc aggregates are
+    # pure array ops over the distinct fingerprint set — size / array_min /
+    # array_max — so the explode + groupBy (Generate + 2 HashAggregates +
+    # Exchange) collapses into a map-only projection with identical values
+    # (count of exploded distinct fps == size(array_distinct); min/max are
+    # distinct-invariant).  The Generate barrier (explode of a 1-element
+    # array) materializes the distinct array ONCE per row so Project
+    # collapse cannot re-inline the md5/zip_with chain into each of the
+    # three output expressions (Catalyst footgun #1/#2).
+    fps = d.select(
+        "doc_id", F.explode(F.array(F.array_distinct(wins))).alias("__fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("__fps").cast("long").alias("n_fingerprints"),
+        F.array_min("__fps").alias("min_fp"),
+        F.array_max("__fps").alias("max_fp"),
     )
 
 
@@ -227,7 +253,7 @@ def q_minhash_signatures(spark, sf):
     from feature_store_spark.operators.dedup import minhash_signatures
 
     return minhash_signatures(
-        t(spark, sf, "documents"), num_hashes=_N_MINHASH
+        _docs(spark, sf), num_hashes=_N_MINHASH
     )
 
 
@@ -250,12 +276,18 @@ def q_lsh_pairs(spark, sf):
 
     Band key = md5 of the band's minhash values; pairs sharing any band
     bucket are candidates.  Scale path: groupBy band bucket (shuffle on
-    band key) instead of all-pairs comparison.
+    band key) instead of all-pairs comparison.  Signatures are fed in
+    WIDE form (round-6): the stacked gate-row form would be pivoted
+    straight back, paying three extra HashAggregate layers for nothing.
     """
-    from feature_store_spark.operators.dedup import lsh_candidate_pairs
+    from feature_store_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
 
     pairs = lsh_candidate_pairs(
-        q_minhash_signatures(spark, sf), num_hashes=_N_MINHASH, band_size=2
+        None, num_hashes=_N_MINHASH, band_size=2,
+        wide_signatures=minhash_wide(_docs(spark, sf), num_hashes=_N_MINHASH),
     )
     return pairs.select(
         F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
@@ -334,7 +366,7 @@ def q_corpus_dedup(spark, sf):
     """
     from feature_store_spark.operators.dedup import dup_clusters, ngram_jaccard
 
-    d = t(spark, sf, "documents")
+    d = _docs(spark, sf)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
     fp = d.select("doc_id", F.md5(norm).alias("fp"))
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_a"))
@@ -404,11 +436,15 @@ def q_lsh_pairs_capped(spark, sf):
     _LSH_CAP members under the deterministic (md5(id), id) order, bounding
     the per-bucket self-join quadratically (degenerate boilerplate buckets
     are a web-scale certainty — round-1 judge finding)."""
-    from feature_store_spark.operators.dedup import lsh_candidate_pairs
+    from feature_store_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
 
     pairs = lsh_candidate_pairs(
-        q_minhash_signatures(spark, sf), num_hashes=_N_MINHASH, band_size=2,
+        None, num_hashes=_N_MINHASH, band_size=2,
         max_bucket_size=_LSH_CAP,
+        wide_signatures=minhash_wide(_docs(spark, sf), num_hashes=_N_MINHASH),
     )
     return pairs.select(
         F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
@@ -508,7 +544,7 @@ def q_cosine_topk(spark, sf):
     per-query top-k shuffle of only k rows per partition."""
     from feature_store_spark.operators.similarity import cosine_topk
 
-    e = t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     q = (
         e.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
@@ -551,8 +587,14 @@ def q_embedding_near_dup(spark, sf):
     )
 
     planes = hyperplane_weights(_N_PLANES, _DIM)
-    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    eb = e.withColumn("bucket", lsh_bucket_expr("embedding", planes))
+    e = _embs(spark, sf).select("vec_id", "embedding")
+    # norm precomputed ONCE per vector below the join (round-6, guide §3/§4
+    # "don't compute things you throw away"): the pairwise expression then
+    # evaluates 1 dot product per candidate pair instead of 3 — same value,
+    # same division order, the sqrt(dot(v,v)) is the identical expression
+    # merely evaluated per row instead of per pair.
+    eb = e.withColumn("bucket", lsh_bucket_expr("embedding", planes)) \
+          .withColumn("__nrm", F.sqrt(_dot("embedding", "embedding")))
     a = eb.alias("a")
     b = eb.alias("b")
     pairs = a.join(
@@ -562,8 +604,8 @@ def q_embedding_near_dup(spark, sf):
     )
     cos = (
         _dot("a.embedding", "b.embedding")
-        / F.sqrt(_dot("a.embedding", "a.embedding"))
-        / F.sqrt(_dot("b.embedding", "b.embedding"))
+        / F.col("a.__nrm")
+        / F.col("b.__nrm")
     )
     from feature_store_spark.operators.similarity import eval_once
 
@@ -616,7 +658,7 @@ def q_ann_lsh(spark, sf):
     from feature_store_spark.operators.similarity import ann_lsh_topk
 
     out = ann_lsh_topk(
-        t(spark, sf, "embeddings"), F.col("vec_id") % 50 == 0,
+        _embs(spark, sf), F.col("vec_id") % 50 == 0,
         n_planes=_N_PLANES, dim=_DIM, k=3,
     )
     return out.select("q_id", "neighbor_id",
@@ -669,7 +711,7 @@ def q_ann_ivf(spark, sf):
     from feature_store_spark.operators.similarity import ivf_topk
 
     out = ivf_topk(
-        t(spark, sf, "embeddings"),
+        _embs(spark, sf),
         centroid_pred=F.col("vec_id") % _IVF_CENT_MOD == 0,
         query_pred=F.col("vec_id") % 50 == 0,
         nprobe=_IVF_NPROBE, k=_IVF_K,
