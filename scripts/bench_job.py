@@ -31,6 +31,11 @@ def main() -> None:
     phase = sys.argv[6] if len(sys.argv) > 6 else "all"
     passes = int(sys.argv[7]) if len(sys.argv) > 7 else 2
     n_docs_arg = int(sys.argv[8]) if len(sys.argv) > 8 else 1_000_000
+    # document length for the dedup phase: 40 (default) reproduces the
+    # round-5 short-doc regime; ~1000+ is the web-scale regime where the
+    # shingle/md5 CPU dominates the LSH shuffle tail (round-6 scaling
+    # evidence — VERDICT task 2)
+    n_words_arg = int(sys.argv[9]) if len(sys.argv) > 9 else 40
 
     spark = SparkSession.builder.getOrCreate()
     for k, v in {
@@ -131,9 +136,12 @@ def main() -> None:
         # shuffle-stage latency (at 200k docs the 32-core wall was 3.5 s
         # and the measurement was latency-bound, not capacity-bound)
         n_docs = n_docs_arg
-        docs_path = os.path.join(data_root, f"docs_{n_docs}.parquet")
+        n_words = n_words_arg
+        suffix = f"docs_{n_docs}" if n_words == 40 else \
+            f"docs_{n_docs}_w{n_words}"
+        docs_path = os.path.join(data_root, f"{suffix}.parquet")
         if not os.path.exists(docs_path):
-            synth_documents(spark, n_docs) \
+            synth_documents(spark, n_docs, n_words=n_words) \
                 .repartition(max(cores * 4, 32)) \
                 .write.mode("overwrite").parquet(docs_path)
 
@@ -151,6 +159,7 @@ def main() -> None:
             build_dedup().write.format("noop").mode("overwrite").save()
             dt3 = min(dt3, time.time() - t0)
         out["n_docs"] = n_docs
+        out["n_words"] = n_words
         out["dedup_sec"] = round(dt3, 2)
         out["dedup_docs_per_sec"] = round(n_docs / dt3, 1)
 
