@@ -431,6 +431,7 @@ def connected_components(
     id_b: str = "doc_id_b",
     max_iterations: int = 25,
     on_nonconvergence: str = "star",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node appearing in any edge: ``(node, component)`` with component = the
@@ -472,7 +473,18 @@ def connected_components(
     sym = edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
     sym = sym.unionByName(
         sym.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-    ).distinct().persist()
+    )
+    # Duplicate edges never change min-label propagation (min over a
+    # multiset of neighbors == min over its set), so the distinct here is
+    # purely a size optimization on the persisted edge table.  When the
+    # caller GUARANTEES deduped (id_a < id_b)-style input — the LSH
+    # candidate pairs end in .distinct() — the symmetrized union is
+    # already duplicate-free and the distinct is a full extra shuffle of
+    # 2|E| rows for nothing (round-6; at web-scale edge counts that is
+    # the single largest avoidable shuffle in this operator).
+    if not edges_deduped:
+        sym = sym.distinct()
+    sym = sym.persist()
     lbl = (
         sym.select("node").distinct()
         .withColumn("label", F.col("node"))
@@ -548,12 +560,14 @@ def dup_clusters(
     id_col: str = "doc_id",
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
+    pairs_deduped: bool = False,
 ) -> DataFrame:
     """Near-duplicate clusters from candidate pairs: every document gets a
     ``cluster_id`` (min doc id of its component; singletons cluster with
     themselves), the cluster's size, and whether it is the canonical
     (minimum-id) member — the keep/drop decision of a dedup pass."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b,
+                                edges_deduped=pairs_deduped)
     out = (
         docs.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")

@@ -321,8 +321,11 @@ def q_dup_clusters(spark, sf):
 
     docs = t(spark, sf, "documents").select("doc_id")
     pairs = q_lsh_pairs(spark, sf)
+    # pairs end in .distinct() with doc_a < doc_b, so CC can skip its
+    # defensive re-dedup of the symmetrized edges (round-6)
     return dup_clusters(
-        docs, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
+        docs, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b",
+        pairs_deduped=True,
     ).select(
         "doc_id", "cluster_id",
         F.col("cluster_size").cast("long").alias("cluster_size"),

@@ -150,6 +150,24 @@ def test_dup_clusters_window_size_matches_group_join(spark):
     assert len(got) == 12
 
 
+def test_connected_components_edges_deduped_matches_default(spark):
+    """edges_deduped=True (skip the defensive distinct on symmetrized
+    edges) gives the same components for a<b deduped input — duplicates
+    never change a min aggregate, so this pins the perf flag is safe."""
+    from feature_store_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5), (3, 6)], ["doc_a", "doc_b"]
+    ).distinct()
+    a = sorted(map(tuple, connected_components(
+        pairs, "doc_a", "doc_b").collect()))
+    release_caches()
+    b = sorted(map(tuple, connected_components(
+        pairs, "doc_a", "doc_b", edges_deduped=True).collect()))
+    release_caches()
+    assert a == b and len(a) == 8
+
+
 # ---------------------------------------------------------------------
 # winnow: map-only aggregates == explode + groupBy
 # ---------------------------------------------------------------------
