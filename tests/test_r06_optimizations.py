@@ -254,6 +254,50 @@ def test_registry_first_50_covers_every_untwinned_query():
 
 
 # ---------------------------------------------------------------------
+# torn-manifest crash property (round-5 verdict task 7): a manifest cut
+# at ANY byte offset of its final line reads as a consistent prefix, and
+# the next append repairs it so read-before == read-after minus the new
+# entry — the exactly-once commit story, pinned at every cut point.
+# ---------------------------------------------------------------------
+
+def test_manifest_torn_tail_every_cut_point(tmp_path):
+    from feature_store_spark.io.tables import PartitionedTable
+
+    def entry(i):
+        return {
+            "snapshot_id": f"snap-{i:04d}-x", "parent": None, "op": "append",
+            "partitions": {"a": i}, "mapping": {"a": [f"data/v{i:04d}"]},
+            "meta": {"i": i}, "touched": ["a"],
+        }
+
+    ref = PartitionedTable(str(tmp_path / "ref"), "t", "d")
+    ref._append_manifest(entry(0))
+    ref._append_manifest(entry(1))
+    with open(ref._manifest_path, "rb") as f:
+        full = f.read()
+    last_start = full[:-1].rfind(b"\n") + 1  # start of the final line
+
+    for cut in range(last_start, len(full) + 1):
+        root = tmp_path / f"cut{cut}"
+        tbl = PartitionedTable(str(root), "t", "d")
+        import os as _os
+        _os.makedirs(tbl.path, exist_ok=True)
+        with open(tbl._manifest_path, "wb") as f:
+            f.write(full[:cut])
+        before = tbl._read_manifest()
+        # read sees entry 0 always; entry 1 only when its line survived
+        # completely (with or without the trailing newline)
+        want = 2 if cut >= len(full) - 1 else 1
+        assert len(before) == want, f"cut={cut}"
+        assert before[0]["snapshot_id"] == "snap-0000-x"
+        # repair-and-append must agree with what read accepted
+        tbl._append_manifest(entry(2))
+        after = tbl._read_manifest()
+        assert after[:-1] == before, f"repair disagreed with read at cut={cut}"
+        assert after[-1]["snapshot_id"] == "snap-0002-x"
+
+
+# ---------------------------------------------------------------------
 # snapshot-table empty-partition semantics (round-5 ADVICE)
 # ---------------------------------------------------------------------
 
